@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{DataPrepQueries, KgQueries, Q, RelationalQueries}
+
+/** Driver contract (SURVEY.md §3.2): one `queries` key per implemented
+  * operator from SURVEY.md §2 plus the training-data operator set; each
+  * SQL-expressible key carries a DuckDB oracle over the same parquet.
+  * Registry lives in graft.queries.* — Spark query and oracle SQL are
+  * defined side by side so they can't drift apart.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private lazy val registry: Map[String, Q] =
+    RelationalQueries.all ++ KgQueries.all ++ DataPrepQueries.all
+
+  /** Flagship query: the full KG pipeline (mention-detect →
+    * candidate-generate → link-score → canonicalize → triple-emit) on
+    * sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.kg.Stages.triples(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
 }

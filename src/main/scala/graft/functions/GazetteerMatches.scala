@@ -1,0 +1,197 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern matcher over a broadcast gazetteer
+  * (SURVEY.md §2.8 U1) — the mention-detection core.
+  *
+  * Built once on the driver from the (small) gazetteer table, shipped to
+  * executors via torrent broadcast, evaluated per text span inside the
+  * scan stage. One pass per span regardless of dictionary size — at the
+  * 100 TB design point this is the difference between O(text) and
+  * O(text × |gazetteer|).
+  *
+  * Matching semantics (fixed, tested):
+  *  - ASCII-case-insensitive traversal (patterns stored lower-cased);
+  *  - token boundaries required on both sides (char before `begin` and
+  *    char at `end` must be non-alphanumeric or string edge);
+  *  - longest-match-wins, non-overlapping: candidate matches sorted by
+  *    (begin asc, length desc) and swept greedily left to right.
+  */
+final class AcTrie private (patterns: Array[String], types: Array[String]) extends Serializable {
+
+  @transient private lazy val automaton: AcTrie.Automaton = AcTrie.build(patterns)
+
+  def nPatterns: Int = patterns.length
+  def patternAt(i: Int): String = patterns(i)
+  def typeAt(i: Int): String = types(i)
+
+  /** All boundary-respecting matches, longest-match non-overlap resolved.
+    * Returns (begin, end, patternIdx) triples; `end` is exclusive. */
+  def matches(text: String): Array[(Int, Int, Int)] = {
+    val a = automaton
+    val found = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = Character.toLowerCase(text.charAt(i))
+      state = a.step(state, c)
+      // all patterns ending at position i (inclusive) via output links
+      var out = state
+      while (out != 0) {
+        val hits = a.outputs(out)
+        if (hits != null) {
+          var k = 0
+          while (k < hits.length) {
+            val p = hits(k)
+            val len = patterns(p).length
+            val begin = i + 1 - len
+            val boundaryL = begin == 0 || !AcTrie.isWordChar(text.charAt(begin - 1))
+            val boundaryR = i + 1 == n || !AcTrie.isWordChar(text.charAt(i + 1))
+            if (boundaryL && boundaryR) found += ((begin, i + 1, p))
+            k += 1
+          }
+        }
+        out = a.fail(out)
+      }
+      i += 1
+    }
+    // longest-match-wins, greedy non-overlap
+    val sorted = found.sortBy { case (b, e, p) => (b, -(e - b), patterns(p)) }
+    val kept = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var lastEnd = 0
+    sorted.foreach { m =>
+      if (m._1 >= lastEnd) { kept += m; lastEnd = m._2 }
+    }
+    kept.toArray
+  }
+}
+
+object AcTrie {
+  /** Word-char class aligned with the `[^a-z0-9]+` tokenizer used by the
+    * SQL oracles: a char is part of a token iff its lower-case form is in
+    * [a-z0-9]. Anything else (incl. non-ASCII letters) is a boundary. */
+  def isWordChar(c0: Char): Boolean = {
+    val c = Character.toLowerCase(c0)
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  }
+
+  /** Build from (surface, coarse_type) pairs; surfaces are lower-cased
+    * and deduplicated (first type wins for a duplicate surface). */
+  def apply(entries: Seq[(String, String)]): AcTrie = {
+    val seen = mutable.LinkedHashMap.empty[String, String]
+    entries.foreach { case (s, t) =>
+      val k = s.toLowerCase
+      if (k.nonEmpty && !seen.contains(k)) seen(k) = t
+    }
+    new AcTrie(seen.keys.toArray, seen.values.toArray)
+  }
+
+  private[functions] final class Automaton(
+      val next: Array[mutable.LongMap[Int]], // state -> (char -> state)
+      val fail: Array[Int],
+      val outputs: Array[Array[Int]]) extends Serializable {
+    def step(state0: Int, c: Char): Int = {
+      var state = state0
+      while (true) {
+        next(state).get(c.toLong) match {
+          case Some(go) => return go
+          case None =>
+            if (state == 0) return 0
+            state = fail(state)
+        }
+      }
+      0
+    }
+  }
+
+  private[functions] def build(patterns: Array[String]): Automaton = {
+    val next = mutable.ArrayBuffer(mutable.LongMap.empty[Int])
+    val out = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    // goto graph
+    patterns.zipWithIndex.foreach { case (pat, pi) =>
+      var state = 0
+      pat.foreach { ch =>
+        val t = next(state)
+        state = t.get(ch.toLong) match {
+          case Some(s) => s
+          case None =>
+            next += mutable.LongMap.empty[Int]
+            out += mutable.ArrayBuffer.empty[Int]
+            val s = next.length - 1
+            t(ch.toLong) = s
+            s
+        }
+      }
+      out(state) += pi
+    }
+    // BFS failure links
+    val fail = Array.fill(next.length)(0)
+    val queue = mutable.Queue.empty[Int]
+    next(0).foreach { case (_, s) => queue.enqueue(s) }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      next(r).foreach { case (c, s) =>
+        queue.enqueue(s)
+        var f = fail(r)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        fail(s) = next(f).get(c).filter(_ != s).getOrElse(0)
+      }
+    }
+    new Automaton(next.toArray, fail, out.map(_.toArray).toArray)
+  }
+
+  val matchStruct: StructType = StructType(Seq(
+    StructField("begin", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("surface", StringType, nullable = false),
+    StructField("coarse_type", StringType, nullable = false)))
+}
+
+/** `gazetteer_matches(text)` → array<struct<begin,end,surface,coarse_type>>.
+  * Array-returning scalar expression; compose with `posexplode` for the
+  * UDTF shape (SURVEY.md §2.8 — no custom Generator needed).
+  * CodegenFallback: the surrounding operators still fuse; revisit with
+  * `doGenCode` if profiling shows the boundary dominating (§7.4 risk 3).
+  */
+case class GazetteerMatchesExpr(child: Expression, trie: Broadcast[AcTrie])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(AcTrie.matchStruct, containsNull = false)
+  override def prettyName: String = "gazetteer_matches"
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val t = trie.value
+    val ms = t.matches(text)
+    val rows = new Array[Any](ms.length)
+    var i = 0
+    while (i < ms.length) {
+      val (b, e, p) = ms(i)
+      rows(i) = InternalRow(b, e,
+        UTF8String.fromString(text.substring(b, e)),
+        UTF8String.fromString(t.typeAt(p)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GazetteerMatchesExpr =
+    copy(child = newChild)
+}
+
+object GazetteerMatchesExpr {
+  def apply(c: Column, trie: Broadcast[AcTrie]): Column =
+    Bridge.toColumn(GazetteerMatchesExpr(Bridge.toExpression(c), trie))
+}

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Thin snapshot/lineage store emulating the Iceberg table semantics the
+  * contract uses (SURVEY.md §7.4: no Iceberg runtime exists in this
+  * sandbox — this mirrors snapshots, atomic append, pruning and resume
+  * behind one class so a real `iceberg-spark-runtime` can be swapped in).
+  *
+  * Layout:
+  *   root/data/snap-<id>/         parquet of commit <id>
+  *   root/_snapshots/<id>.json    manifest: data dir, stage, marker,
+  *                                metrics, wall_ms (atomic rename commit)
+  *
+  * Commit protocol: write parquet → write manifest to a temp file →
+  * `Files.move(..., ATOMIC_MOVE)`. A reader only sees fully-committed
+  * snapshots; a crash before the rename leaves garbage data files but no
+  * visible snapshot (resume then rewrites them — exactly-once at the
+  * snapshot level). `marker` gives idempotence: committing the same
+  * marker twice is a no-op, which makes `foreachBatch(batchId)` sinks and
+  * stage-level pipeline resume replay-safe (BASELINE.json north_rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  */
+final class SnapshotStore(rootStr: String) {
+  private val root: Path = Paths.get(rootStr)
+  private val snapsDir: Path = root.resolve("_snapshots")
+  private val dataDir: Path = root.resolve("data")
+  Files.createDirectories(snapsDir)
+  Files.createDirectories(dataDir)
+
+  final case class Manifest(id: Long, dir: String, stage: String, marker: String,
+                            rows: Long, wallMs: Long)
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def render(m: Manifest): String =
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs}}"""
+
+  private def field(js: String, name: String): String = {
+    val km = ("\"" + name + "\":").r.findFirstMatchIn(js).getOrElse(
+      throw new IllegalStateException(s"manifest missing $name: $js"))
+    val rest = js.substring(km.end)
+    if (rest.startsWith("\"")) {
+      val sb = new StringBuilder; var i = 1
+      while (rest.charAt(i) != '"') {
+        if (rest.charAt(i) == '\\') { i += 1; sb.append(rest.charAt(i) match {
+          case 'n' => '\n'; case '"' => '"'; case '\\' => '\\'; case c => c }) }
+        else sb.append(rest.charAt(i))
+        i += 1
+      }
+      sb.toString
+    } else rest.takeWhile(c => c.isDigit || c == '-')
+  }
+
+  private def parse(js: String): Manifest = Manifest(
+    field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
+    field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong)
+
+  def manifests(): Seq[Manifest] =
+    Files.list(snapsDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => parse(Files.readString(p)))
+      .toSeq.sortBy(_.id)
+
+  def latestId: Option[Long] = manifests().lastOption.map(_.id)
+
+  def markers(): Set[String] = manifests().map(_.marker).toSet
+
+  /** Atomic append commit. Returns the snapshot id, or None when the
+    * marker was already committed (idempotent replay). */
+  def commit(df: DataFrame, stage: String, marker: String): Option[Long] = synchronized {
+    if (markers().contains(marker)) return None
+    val t0 = System.nanoTime()
+    val id = latestId.getOrElse(0L) + 1L
+    val dir = dataDir.resolve(s"snap-$id")
+    df.write.mode("overwrite").parquet(dir.toString)
+    val rows = df.sparkSession.read.parquet(dir.toString).count()
+    val m = Manifest(id, dir.toString, stage, marker, rows,
+      (System.nanoTime() - t0) / 1000000L)
+    val tmp = Files.createTempFile(snapsDir, s".tmp-$id", ".json")
+    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapsDir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    Some(id)
+  }
+
+  /** Read the table as of snapshot `asOf` (inclusive), or latest. Union
+    * of committed data dirs — Spark reads them as one multi-path scan,
+    * so partition pruning & pushdown apply per file as usual. */
+  def read(spark: SparkSession, schema: Option[StructType] = None,
+           asOf: Option[Long] = None, stage: Option[String] = None): DataFrame = {
+    val ms0 = manifests()
+    val ms = ms0
+      .filter(m => asOf.forall(m.id <= _))
+      .filter(m => stage.forall(m.stage == _))
+    require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
+    val rd = schema.map(spark.read.schema).getOrElse(spark.read)
+    rd.parquet(ms.map(_.dir): _*)
+  }
+
+  /** Lineage table: one row per snapshot (SURVEY.md §1.3). */
+  def lineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    manifests().map(m => (m.id, m.stage, m.marker, m.rows, m.wallMs))
+      .toDF("snapshot_id", "stage", "marker", "rows", "wall_ms")
+  }
+}
