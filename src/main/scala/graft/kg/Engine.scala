@@ -1,0 +1,107 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AcTrie, GazetteerMatchesExpr, NormalizeSurface}
+
+/** Fixture-agnostic KG-construction engine: the five-stage DAG over any
+  * interleaved-span corpus + dictionaries (BASELINE.json north_star).
+  * `Stages` binds it to the driver-testdata-derived fixtures; tests bind
+  * it to seeded synthetic corpora and a naive single-threaded oracle.
+  *
+  * Contracts fixed here (SURVEY.md §0.4 determinism knobs, all in one
+  * place so re-grounding against a real reference is a one-file change):
+  *  - mention semantics: ASCII-folded token boundaries ([a-z0-9] word
+  *    chars), longest-match-wins, non-overlapping, per-span counts;
+  *  - link tie-break: lexicographic max of (score, entity_id);
+  *  - canonical id: lexicographic min of the alias component;
+  *  - triple vocabulary: mentionedIn / hasType / depictedIn (adjacent
+  *    media span).
+  */
+object Engine {
+
+  /** Mention detection over text spans: one Aho–Corasick automaton pass
+    * per span via the broadcast expression (U1). Returns
+    * (doc_id, span_idx, surface, coarse_type, n_occ); surfaces are
+    * normalized (U2). */
+  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+    val spark = spans.sparkSession
+    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
+    spans
+      .where(col("kind") === "text")
+      .select(col("doc_id"), col("span_idx"),
+        explode(GazetteerMatchesExpr(col("text"), trie)).as("m"))
+      .select(col("doc_id"), col("span_idx"),
+        NormalizeSurface(col("m.surface")).as("surface"),
+        col("m.coarse_type").as("coarse_type"))
+      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Candidate generation: broadcast join against the anchor dictionary
+    * (alias_norm, entity_id, prior). */
+  def candidates(mentions: DataFrame, anchorDict: DataFrame): DataFrame =
+    mentions
+      .join(broadcast(anchorDict), col("surface") === col("alias_norm"))
+      .select(col("doc_id"), col("span_idx"), col("surface"),
+        col("coarse_type"), col("n_occ"), col("entity_id"), col("prior"))
+
+  /** Link scoring + per-mention argmax. `boost` is the context-score
+    * hook (a Column over the candidate row). Tie-break: lexicographic
+    * max of (score, entity_id) — total, deterministic. */
+  def links(candidates: DataFrame, boost: Column): DataFrame =
+    candidates
+      .withColumn("score", col("prior") * boost * (lit(1.0) + col("n_occ")))
+      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
+      .agg(max_by(
+        struct(col("entity_id"), col("score")),
+        struct(col("score"), col("entity_id"))).as("best"))
+      .select(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"),
+        col("best.entity_id").as("entity_id"), col("best.score").as("score"))
+
+  /** Entity canonicalization: CC over the alias graph (src, dst). */
+  def canonical(aliasEdges: DataFrame): DataFrame =
+    ConnectedComponents.alternating(aliasEdges.select(col("src"), col("dst")))
+
+  /** Triple emit: mention + typing + media-adjacency triples,
+    * canonicalized and deduplicated. `canon` is broadcast — alias maps
+    * are dictionary-sized, not corpus-sized. */
+  def triples(links: DataFrame, canon: DataFrame, spans: DataFrame): DataFrame = {
+    val lkc = links
+      .join(broadcast(canon.withColumnRenamed("entity_id", "eid")),
+        col("entity_id") === col("eid"), "left")
+      .select(col("doc_id"), col("span_idx"), col("coarse_type"),
+        coalesce(col("canonical_id"), col("entity_id")).as("entity"))
+
+    val mentionTriples = lkc.select(
+      col("entity").as("subj"), lit("mentionedIn").as("pred"),
+      concat(lit("doc:"), col("doc_id")).as("obj"))
+
+    val typingTriples = lkc.select(
+      col("entity").as("subj"), lit("hasType").as("pred"),
+      col("coarse_type").as("obj"))
+
+    val media = spans.where(col("kind") =!= "text")
+      .select(col("doc_id").as("m_doc"), col("span_idx").as("m_idx"), col("media_ref"))
+    val mediaTriples = lkc
+      .join(media, col("doc_id") === col("m_doc") &&
+        (col("span_idx") === col("m_idx") - 1 || col("span_idx") === col("m_idx") + 1))
+      .select(col("entity").as("subj"), lit("depictedIn").as("pred"),
+        col("media_ref").as("obj"))
+
+    mentionTriples.unionByName(typingTriples).unionByName(mediaTriples)
+      .dropDuplicates("subj", "pred", "obj")
+  }
+
+  /** Full DAG: docs → triples. */
+  def run(docs: DataFrame, gazetteer: Seq[(String, String)],
+          anchorDict: DataFrame, aliasEdges: DataFrame,
+          boost: Column): DataFrame = {
+    val spans = Corpus.explodeSpans(docs)
+    val m = mentions(spans, gazetteer)
+    val c = candidates(m, anchorDict)
+    val l = links(c, boost)
+    triples(l, canonical(aliasEdges), spans)
+  }
+}

@@ -1,22 +1,18 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{AcTrie, GazetteerMatchesExpr, NormalizeSurface}
 
-/** The five KG pipeline stages (BASELINE.json north_star):
-  * mention-detect → candidate-generate → link-score → canonicalize →
-  * triple-emit, each as a declarative Dataset transform so Catalyst
-  * owns the physical plan (SURVEY.md §3.1).
-  *
-  * All derivations here are deterministic and DuckDB-expressible so the
-  * driver's oracle can replicate them end to end: the gazetteer is the
-  * top-K frequent long tokens of the corpus, the anchor dictionary maps
-  * each surface to two candidate entities with fixed priors, and the
-  * alias graph is per-surface chains E2_s → E1_s (→ E0_s for
-  * even-length surfaces).
+/** The KG pipeline bound to the driver-testdata-derived fixtures
+  * (BASELINE.json north_star stages; generic engine in
+  * [[graft.kg.Engine]]). All derivations are deterministic and
+  * DuckDB-expressible so the driver's oracle can replicate them end to
+  * end: the gazetteer is the top-K frequent long tokens of the corpus,
+  * the anchor dictionary maps each surface to two candidate entities
+  * with fixed priors, and the alias graph is per-surface chains
+  * E2_s → E1_s (→ E0_s for even-length surfaces).
   */
 object Stages {
 
@@ -37,6 +33,13 @@ object Stages {
         element_at(
           array(lit("PER"), lit("LOC"), lit("ORG"), lit("MISC")),
           (length(col("surface")) % 4 + 1).cast("int")).as("coarse_type"))
+
+  private def gazetteerSeq(spark: SparkSession, dir: String): Seq[(String, String)] =
+    gazetteer(spark, dir)
+      .select(col("surface"), col("coarse_type"))
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getString(1)))
 
   /** Anchor dictionary: every gazetteer surface maps to two candidate
     * entities with commonness priors 0.7 / 0.3 (Milne & Witten-style
@@ -69,93 +72,26 @@ object Stages {
     hop1.unionByName(hop2)
   }
 
-  /** Mention detection over text spans via the broadcast Aho–Corasick
-    * expression (U1): one automaton pass per span, boundary-aware,
-    * longest-match-wins. Aggregated to
-    * (doc_id, span_idx, surface, coarse_type, n_occ). */
-  def mentions(spark: SparkSession, dir: String): DataFrame = {
-    val gaz = gazetteer(spark, dir)
-      .select(col("surface"), col("coarse_type"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val trie = spark.sparkContext.broadcast(AcTrie(gaz.toSeq))
-    val spans = Corpus.explodeSpans(Corpus.docs(spark, dir))
-      .where(col("kind") === "text")
-    spans
-      .select(col("doc_id"), col("span_idx"),
-        explode(GazetteerMatchesExpr(col("text"), trie)).as("m"))
-      .select(col("doc_id"), col("span_idx"),
-        NormalizeSurface(col("m.surface")).as("surface"),
-        col("m.coarse_type").as("coarse_type"))
-      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
-      .agg(count(lit(1)).as("n_occ"))
-  }
+  /** Context boost used by the link-score stage on this fixture. */
+  def scoreBoost: Column =
+    when(col("entity_id").startsWith("E2_") &&
+      col("doc_id").cast("long") % 7 === 0, lit(3.0)).otherwise(lit(1.0))
 
-  /** Candidate generation: mention surfaces × anchor dictionary.
-    * The dictionary side is small by construction → explicit
-    * broadcast(), so the corpus side never shuffles (SURVEY.md §2.3 J1). */
+  def spans(spark: SparkSession, dir: String): DataFrame =
+    Corpus.explodeSpans(Corpus.docs(spark, dir))
+
+  def mentions(spark: SparkSession, dir: String): DataFrame =
+    Engine.mentions(spans(spark, dir), gazetteerSeq(spark, dir))
+
   def candidates(spark: SparkSession, dir: String): DataFrame =
-    mentions(spark, dir)
-      .join(broadcast(anchorDict(spark, dir)),
-        col("surface") === col("alias_norm"))
-      .select(col("doc_id"), col("span_idx"), col("surface"),
-        col("coarse_type"), col("n_occ"), col("entity_id"), col("prior"))
+    Engine.candidates(mentions(spark, dir), anchorDict(spark, dir))
 
-  /** Link scoring + per-mention argmax. Score arithmetic is exact
-    * (+,* on representable doubles) so the DuckDB oracle matches
-    * bit-for-bit; tie-break (score desc, entity_id asc) is total. */
-  def links(spark: SparkSession, dir: String): DataFrame = {
-    val scored = candidates(spark, dir).withColumn("score",
-      col("prior")
-        * when(col("entity_id").startsWith("E2_") &&
-            col("doc_id").cast("long") % 7 === 0, lit(3.0)).otherwise(lit(1.0))
-        * (lit(1.0) + col("n_occ")))
-    // A4 arg-max per group: lexicographic max over (score, inverted entity)
-    // via struct ordering — single hash aggregate, no window shuffle+sort.
-    scored
-      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
-      .agg(max_by(
-        struct(col("entity_id"), col("score")),
-        struct(col("score"), col("entity_id"))).as("best"))
-      .select(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"),
-        col("best.entity_id").as("entity_id"), col("best.score").as("score"))
-  }
+  def links(spark: SparkSession, dir: String): DataFrame =
+    Engine.links(candidates(spark, dir), scoreBoost)
 
-  /** Canonicalization map from CC over the alias graph. */
   def canonicalMap(spark: SparkSession, dir: String): DataFrame =
-    ConnectedComponents.alternating(
-      aliasEdges(spark, dir).select(col("src"), col("dst")))
+    Engine.canonical(aliasEdges(spark, dir))
 
-  /** Triple emit: mention triples + typing triples + media-adjacency
-    * triples, canonicalized, deduplicated (SURVEY.md §3.1). */
-  def triples(spark: SparkSession, dir: String): DataFrame = {
-    val lk = links(spark, dir)
-    val canon = broadcast(canonicalMap(spark, dir))
-
-    val lkc = lk
-      .join(canon.withColumnRenamed("entity_id", "eid"), col("entity_id") === col("eid"), "left")
-      .select(col("doc_id"), col("span_idx"), col("coarse_type"),
-        coalesce(col("canonical_id"), col("entity_id")).as("entity"))
-
-    val mentionTriples = lkc.select(
-      col("entity").as("subj"), lit("mentionedIn").as("pred"),
-      concat(lit("doc:"), col("doc_id")).as("obj"))
-
-    val typingTriples = lkc.select(
-      col("entity").as("subj"), lit("hasType").as("pred"),
-      col("coarse_type").as("obj"))
-
-    // W2 adjacency: media span next to a linked text span → depictedIn.
-    val spans = Corpus.explodeSpans(Corpus.docs(spark, dir))
-    val media = spans.where(col("kind") =!= "text")
-      .select(col("doc_id").as("m_doc"), col("span_idx").as("m_idx"), col("media_ref"))
-    val mediaTriples = lkc
-      .join(media, col("doc_id") === col("m_doc") &&
-        (col("span_idx") === col("m_idx") - 1 || col("span_idx") === col("m_idx") + 1))
-      .select(col("entity").as("subj"), lit("depictedIn").as("pred"),
-        col("media_ref").as("obj"))
-
-    mentionTriples.unionByName(typingTriples).unionByName(mediaTriples)
-      .dropDuplicates("subj", "pred", "obj")
-  }
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    Engine.triples(links(spark, dir), canonicalMap(spark, dir), spans(spark, dir))
 }

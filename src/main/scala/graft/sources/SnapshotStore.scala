@@ -34,7 +34,8 @@ final class SnapshotStore(rootStr: String) {
   Files.createDirectories(dataDir)
 
   final case class Manifest(id: Long, dir: String, stage: String, marker: String,
-                            rows: Long, wallMs: Long)
+                            rows: Long, wallMs: Long,
+                            metrics: Map[String, Long] = Map.empty)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -42,8 +43,20 @@ final class SnapshotStore(rootStr: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def render(m: Manifest): String =
-    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs}}"""
+  private def render(m: Manifest): String = {
+    val met = m.metrics.toSeq.sorted
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"metrics":$met}"""
+  }
+
+  private val metricsRe = """"metrics":\{([^}]*)\}""".r
+  private val kvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
+
+  private def parseMetrics(js: String): Map[String, Long] =
+    metricsRe.findFirstMatchIn(js).map { m =>
+      kvRe.findAllMatchIn(m.group(1))
+        .map(kv => kv.group(1) -> kv.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
 
   private def field(js: String, name: String): String = {
     val km = ("\"" + name + "\":").r.findFirstMatchIn(js).getOrElse(
@@ -63,7 +76,8 @@ final class SnapshotStore(rootStr: String) {
 
   private def parse(js: String): Manifest = Manifest(
     field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
-    field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong)
+    field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
+    parseMetrics(js))
 
   def manifests(): Seq[Manifest] =
     Files.list(snapsDir).iterator().asScala
@@ -76,16 +90,23 @@ final class SnapshotStore(rootStr: String) {
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
   /** Atomic append commit. Returns the snapshot id, or None when the
-    * marker was already committed (idempotent replay). */
-  def commit(df: DataFrame, stage: String, marker: String): Option[Long] = synchronized {
+    * marker was already committed (idempotent replay). `partitionBy`
+    * lays the snapshot out as hive-style partition dirs so downstream
+    * reads prune; `metrics` lands in the manifest (per-partition lineage,
+    * SURVEY.md §1.3). */
+  def commit(df: DataFrame, stage: String, marker: String,
+             partitionBy: Seq[String] = Nil,
+             metrics: Map[String, Long] = Map.empty): Option[Long] = synchronized {
     if (markers().contains(marker)) return None
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
     val dir = dataDir.resolve(s"snap-$id")
-    df.write.mode("overwrite").parquet(dir.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir.toString)
     val rows = df.sparkSession.read.parquet(dir.toString).count()
     val m = Manifest(id, dir.toString, stage, marker, rows,
-      (System.nanoTime() - t0) / 1000000L)
+      (System.nanoTime() - t0) / 1000000L, metrics)
     val tmp = Files.createTempFile(snapsDir, s".tmp-$id", ".json")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapsDir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)

@@ -1,0 +1,116 @@
+package graft.dataprep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (3L, "completely different content about spark shuffles and joins"),
+    (4L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r.contains((0L, 2L))) // docs 0,1 collapse to keeper 0
+    assert(r.count(_._2 == 1L) == 3)
+  }
+
+  test("minhash: identical docs → identical signatures; LSH finds the pair") {
+    val sig = Dedup.minhashSignature(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+  }
+
+  test("simhash: exact dup → hamming 0; near dup within small distance") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, near-dup in (0,1)") {
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    val near = pairs((0L, 2L))
+    assert(near > 0.0 && near < 1.0)
+  }
+
+  test("embedding near-dup within label blocks") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.999f, 0.04f, 0.0f), 1), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.0f, 0.0f), 2) // same vector, different block → not paired
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.99)
+    assert(!pairs.keySet.exists(p => p._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = {
+    val rnd = new scala.util.Random(5L)
+    (0L until 200L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, v, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k is exact and deterministic") {
+    val top = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 5)
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    val again = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq == again.toSeq)
+  }
+
+  test("LSH candidates are a subset sharing the query bucket; scores exact") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, dim = 8, queryVecId = 0L, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    assert(lsh.map(_._2).distinct.length == 1) // all in the query's bucket
+    lsh.foreach { case (id, _, cos) => assert(brute(id) == cos) }
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("binary payload plumbing + partition-parallel decode stub") {
+    val docs = Seq((1L, "abc", "en", "s", 3L), (2L, "defg", "de", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val meta = Multimodal.metadata(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(meta(1L) == 3L && meta(2L) == 4L)
+
+    val media = Multimodal.withPayload(docs)
+      .select(col("doc_id"), col("payload"), col("media_kind"))
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeStub(media).collect().map(d => d.doc_id -> d).toMap
+    assert(decoded(1L).n_bytes == 3 && decoded(2L).n_bytes == 4)
+    assert(decoded(1L).feature.sum > 0.0f) // deterministic fake features
+    val again = Multimodal.decodeStub(media).collect().map(d => d.doc_id -> d.feature.toSeq).toMap
+    assert(decoded.view.mapValues(_.feature.toSeq).toMap == again)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class NormalizeSpec extends SparkSuite {
+
+  private def reference(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  test("NormalizeSurface ≡ trim(regexp_replace(lower(x),'[^a-z0-9]+',' '))") {
+    val rnd = new Random(1L)
+    val alphabet = "aZ9 .,-_éÜ✓\t"
+    val cases = Seq("", " ", "Hello, World!", "a..b", ".lead", "trail.",
+      "ALL CAPS", "ünïcode", "123-456") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(20))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { s =>
+      assert(Normalizer.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+        == reference(s), s"input=${s.map(_.toInt)}")
+    }
+  }
+
+  test("NormalizeSurface works inside a DataFrame plan (codegen path)") {
+    import spark.implicits._
+    val df = Seq("Hello, World!", "A.B;C", "").toDF("t")
+      .select(NormalizeSurface(col("t")).as("n"))
+    assert(df.as[String].collect().toSeq == Seq("hello world", "a b c", ""))
+  }
+}
+
+class AcTrieSpec extends SparkSuite {
+
+  test("longest-match-wins, boundaries, case folding") {
+    val trie = AcTrie(Seq("york" -> "LOC", "new york" -> "LOC",
+      "new york city" -> "LOC", "ork" -> "X"))
+    def surf(text: String) =
+      trie.matches(text).map { case (b, e, _) => text.substring(b, e) }.toSeq
+
+    assert(surf("I saw New York City today") == Seq("New York City"))
+    assert(surf("york, new york!") == Seq("york", "new york"))
+    assert(surf("newyork") == Seq.empty) // no internal boundary
+    assert(surf("york-york york") == Seq("york", "york", "york"))
+    assert(surf("YORK") == Seq("YORK")) // case-insensitive, original text
+    assert(surf("stork") == Seq.empty) // 'ork' lacks left boundary
+    assert(surf("ork") == Seq("ork"))
+  }
+
+  test("non-ASCII neighbors are boundaries (matches [^a-z0-9] tokenizer)") {
+    val trie = AcTrie(Seq("spark" -> "ORG"))
+    def surf(text: String) =
+      trie.matches(text).map { case (b, e, _) => text.substring(b, e) }.toSeq
+    // 'é' is outside [a-z0-9] ⇒ it IS a boundary, exactly like the SQL
+    // tokenizer which splits "caféspark" into ("caf", "spark").
+    assert(surf("caféspark") == Seq("spark"))
+    assert(surf("café spark ✓") == Seq("spark"))
+  }
+
+  test("overlapping candidates resolved greedily left to right") {
+    val trie = AcTrie(Seq("ab" -> "X", "bc" -> "Y", "abc" -> "Z"))
+    val m = trie.matches("abc")
+    assert(m.map { case (b, e, p) => (b, e, trie.patternAt(p)) }.toSeq == Seq((0, 3, "abc")))
+  }
+
+  test("expression returns struct array usable with posexplode") {
+    import spark.implicits._
+    val trie = spark.sparkContext.broadcast(AcTrie(Seq("fox" -> "PER", "dog" -> "LOC")))
+    val out = Seq("The Fox and the dog. fox!").toDF("t")
+      .select(explode(GazetteerMatchesExpr(col("t"), trie)).as("m"))
+      .select("m.begin", "m.end", "m.surface", "m.coarse_type")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((4, 7, "Fox", "PER"), (16, 19, "dog", "LOC"), (21, 24, "fox", "PER")))
+  }
+}
+
+class PrAggregatorSpec extends SparkSuite {
+  test("single-pass confusion matrix with partial merge") {
+    import spark.implicits._
+    val data = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDS()
+    val r = data.repartition(3).select(PrAggregator.toColumn).collect().head
+    assert(r == PrCounts(1, 2, 1, 1))
+    assert(r.precision == 1.0 / 3.0 && r.recall == 0.5)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.kg
+
+import scala.util.Random
+
+import graft.SparkSuite
+
+/** Differential test (SURVEY.md §5.2): both Dataset CC implementations
+  * vs a union-find oracle on seeded random graphs, including chains
+  * (deep diameter), a super-node (skew), and isolated self-referential
+  * shapes; invariance under edge direction and permutation.
+  */
+class ConnectedComponentsSpec extends SparkSuite {
+
+  private def ufComponents(edges: Seq[(String, String)]): Map[String, String] =
+    NaiveOracle.canonical(edges)
+
+  private def run(algo: String, edges: Seq[(String, String)]): Map[String, String] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val out = algo match {
+      case "alt" => ConnectedComponents.alternating(df)
+      case _ => ConnectedComponents.minLabel(df)
+    }
+    out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def randomGraph(rnd: Random, n: Int, m: Int): Seq[(String, String)] =
+    (0 until m).map { _ =>
+      (f"n${rnd.nextInt(n)}%03d", f"n${rnd.nextInt(n)}%03d")
+    }.filter(e => e._1 != e._2)
+
+  test("alternating ≡ union-find on random graphs") {
+    val rnd = new Random(99L)
+    for (round <- 0 until 4) {
+      val edges = randomGraph(rnd, 25, 30)
+      assert(run("alt", edges) == ufComponents(edges), s"round $round: $edges")
+    }
+  }
+
+  test("minLabel ≡ union-find on random graphs") {
+    val rnd = new Random(123L)
+    for (round <- 0 until 3) {
+      val edges = randomGraph(rnd, 20, 25)
+      assert(run("min", edges) == ufComponents(edges), s"round $round")
+    }
+  }
+
+  test("deep chain collapses to its min (log-round convergence shape)") {
+    val chain = (0 until 24).map(i => (f"c${i + 1}%02d", f"c$i%02d"))
+    val got = run("alt", chain)
+    assert(got.values.toSet == Set("c00"))
+    assert(got.keySet.size == 25)
+  }
+
+  test("super-node star (skew) plus separate component") {
+    val star = (1 to 30).map(i => (f"s$i%02d", "hub"))
+    val other = Seq(("z2", "z1"))
+    val got = run("alt", star ++ other)
+    assert(got("hub") == "hub" && got("s07") == "hub")
+    assert(got("z2") == "z1" && got("z1") == "z1")
+  }
+
+  test("invariant under edge direction and permutation") {
+    val rnd = new Random(7L)
+    val edges = randomGraph(rnd, 15, 18)
+    val flipped = rnd.shuffle(edges.map { case (a, b) => (b, a) })
+    assert(run("alt", edges) == run("alt", flipped))
+  }
+}
