@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit (SURVEY.md §4, task brief: ".explain the plan
+  * and iterate until it's the plan you'd want"). Dumps formatted plans
+  * for representative queries so pushdown / broadcast / codegen claims
+  * are checkable artifacts, not assertions.
+  *
+  * Run: sbt "runMain graft.PlanAudit [sfDir] [outFile]"
+  */
+object PlanAudit {
+  val Audited: Seq[String] = Seq(
+    "filter_pred",     // expect PushedFilters at the parquet scan
+    "project",         // expect pruned ReadSchema (3 cols of 11)
+    "join_broadcast",  // expect BroadcastHashJoin, no shuffle on fact side
+    "join_salted",     // expect the salted key in the shuffle
+    "agg_hash",        // expect partial+final HashAggregate, WSCG spans
+    "kg_mentions",     // expect Generate(posexplode) inside the scan stage
+    "ann_bruteforce",  // expect broadcast of the 1-row query side
+    "topk")            // expect TakeOrderedAndProject, not global sort
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("target/plan-audit.txt")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    Audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n========== $name ==========\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

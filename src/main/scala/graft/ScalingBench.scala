@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kg.{Corpus, Engine, Stages}
+
+/** Two-cluster-size scaling evidence (BASELINE.json north_rule: ≥0.8
+  * throughput scaling efficiency between N and 4N executors; sandbox
+  * protocol per driver instruction: identical job at two local[k]
+  * parallelism levels on the same input).
+  *
+  * The job is the corpus-dependent KG DAG (mention-detect →
+  * candidate-generate → link-score → canonicalize → triple-emit) over
+  * the sf corpus replicated REPL× in-flight (deterministic:
+  * doc_id = base*REPL + r). Dictionaries are materialized before the
+  * timer — they are corpus-independent inputs.
+  *
+  * Measurement protocol: this sandbox VM shows heavy time-varying
+  * noisy-neighbor interference (identical runs ranged 20–142 s).
+  * `main` therefore ALTERNATES the two parallelism levels within one
+  * process, `Rounds`× each, and reports best-of per level — best-of
+  * reflects the machine's capability; alternation stops a noise burst
+  * from biasing one level. Run:
+  *
+  *   SPARK_DRIVER_MEM=16g \
+  *   SPARK_EXTRA_JVM_OPTS="-Xms16g -XX:+AlwaysPreTouch" \
+  *   sbt "runMain graft.ScalingBench"
+  *
+  * efficiency = (T_N / T_4N) / 4.
+  */
+object ScalingBench {
+
+  val Replication = 160
+  def Rounds: Int = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+  def LowCpus: Int = sys.env.getOrElse("SPARK_GRAFT_N_LOW", "8").toInt
+  def HighCpus: Int = sys.env.getOrElse("SPARK_GRAFT_N_HIGH", "32").toInt
+
+  def replicatedDocs(spark: SparkSession, sfDir: String, cpus: Int,
+                     limit: Option[Int] = None): DataFrame = {
+    val base0 = Corpus.docs(spark, sfDir)
+    val base = limit.map(base0.limit).getOrElse(base0)
+    base.crossJoin(spark.range(Replication).select(col("id").as("rep")))
+      .select(
+        // keep ids numeric-as-string: the score-boost hook casts doc_id
+        (col("doc_id").cast("long") * Replication + col("rep"))
+          .cast("string").as("doc_id"),
+        col("spans"))
+      .repartition(cpus * 2)
+  }
+
+  /** One timed pipeline execution at local[cpus]. Creates and tears
+    * down its own session; returns (wallSec, nDocs, nTriples). */
+  def runOnce(cpus: Int, sfDir: String): (Double, Long, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // Dictionaries: corpus-independent inputs, materialized pre-timer.
+      val gazSeq = Stages.gazetteer(spark, sfDir)
+        .select(col("surface"), col("coarse_type"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+      val anchor = Stages.anchorDict(spark, sfDir).localCheckpoint(true)
+      val edges = Stages.aliasEdges(spark, sfDir).localCheckpoint(true)
+
+      // Warmup: identical plan shape on a tiny slice — pre-compiles the
+      // whole-stage-codegen units so the timer measures execution, not
+      // driver-side Janino compilation.
+      val warmSpans = Corpus.explodeSpans(
+        replicatedDocs(spark, sfDir, cpus, limit = Some(50)))
+      val warmLinks = Engine.links(
+        Engine.candidates(Engine.mentions(warmSpans, gazSeq), anchor), Stages.scoreBoost)
+      Engine.triples(warmLinks, Engine.canonical(edges), warmSpans).count()
+
+      val docs = replicatedDocs(spark, sfDir, cpus)
+      val nDocs = docs.count()
+
+      val t0 = System.nanoTime()
+      val spans = Corpus.explodeSpans(docs)
+      val links = Engine.links(
+        Engine.candidates(Engine.mentions(spans, gazSeq), anchor), Stages.scoreBoost)
+      val triples = Engine.triples(links, Engine.canonical(edges), spans)
+      val nTriples = triples.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, nDocs, nTriples)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Long)]
+    for (round <- 1 to Rounds; cpus <- Seq(LowCpus, HighCpus)) {
+      val (sec, nDocs, nTriples) = runOnce(cpus, sfDir)
+      runs += ((cpus, sec, nDocs, nTriples))
+      System.err.println(f"[scaling] round $round local[$cpus]: $sec%.2fs")
+    }
+    val (_, _, nDocs, nTriples) = runs.head
+    def best(c: Int): Double = runs.filter(_._1 == c).map(_._2).min
+    val tLow = best(LowCpus)
+    val tHigh = best(HighCpus)
+    val eff = (tLow / tHigh) / (HighCpus.toDouble / LowCpus)
+    val allRuns = runs.map { case (c, s, _, _) => f"""{"cpus":$c,"sec":$s%.2f}""" }
+      .mkString("[", ",", "]")
+    println(
+      f"""{"bench":"scaling","sf":"$sfDir","replication":$Replication,"docs":$nDocs,"triples":$nTriples,"n_low":$LowCpus,"n_high":$HighCpus,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"efficiency":$eff%.3f,"tps_low":${nTriples / tLow}%.1f,"tps_high":${nTriples / tHigh}%.1f,"runs":$allRuns}""")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.dataprep
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication for training-data pipelines, at four fidelities
@@ -9,6 +10,11 @@ import org.apache.spark.sql.functions._
   * `bands` small keys per doc; nothing here is O(n²) in the corpus —
   * candidate pairs come from hash buckets / blocking keys, never from a
   * full cross join (the 100 TB constraint).
+  *
+  * Shingling is rows-based (posexplode + window lead) rather than a
+  * nested higher-order array expression: the nested form re-evaluated
+  * the tokenizer per element access and fell out of codegen — measured
+  * ~40× slower at sf0.1.
   */
 object Dedup {
 
@@ -17,17 +23,25 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct 3-token shingles of a text column. Guarded: `sequence`
-    * counts DOWN when start > stop, so short docs get an explicit empty
-    * array instead of a bogus descending range. */
-  def shingles(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      array_distinct(
-        transform(sequence(lit(1), size(t) - 2),
-          j => concat_ws(" ", element_at(t, j), element_at(t, j + 1), element_at(t, j + 2)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct 3-token shingles, one row per (doc_id, shingle). Linear:
+    * one generator, one window pass ordered by token position, one
+    * dedup shuffle. */
+  def shingleRows(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
   }
+
+  /** Per-doc shingle sets (for exact Jaccard). */
+  def shingleSets(documents: DataFrame): DataFrame =
+    shingleRows(documents)
+      .groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_shingles"))
 
   /** Exact dedup: content-hash groupBy, keep the min doc_id per group.
     * One map-side-combined hash aggregate over (hash → min,count). */
@@ -46,9 +60,7 @@ object Dedup {
     * folded with `min` in one aggregate — the per-doc state is 32 longs
     * regardless of document size. */
   def minhashSignature(documents: DataFrame): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
+    val sh = shingleRows(documents).withColumn("h", xxhash64(col("shingle")))
     val mins = (0 until NumPerms).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -72,7 +84,10 @@ object Dedup {
   /** MinHash-LSH candidate pairs with estimated similarity = fraction of
     * equal signature components. */
   def minhashPairs(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
-    val sig = minhashSignature(documents)
+    // Materialize signatures once: the plan below references them four
+    // times (both self-join sides, both pair sides); without this the
+    // 32-aggregate subtree is recomputed per reference.
+    val sig = minhashSignature(documents).localCheckpoint(true)
     val bands = minhashBands(sig)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -112,7 +127,7 @@ object Dedup {
     * Hamming distance 3 of each other agree on ≥1 of 4 chunks), verify
     * with `bit_count(xor) <= maxHamming`. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(documents)
+    val sh = simhash(documents).localCheckpoint(true)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"),
@@ -133,13 +148,14 @@ object Dedup {
     * block join bounds candidate pairs; intersection/union are integer
     * set sizes so the similarity is bit-exact vs the oracle. */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val base = documents
-      .withColumn("toks", tokens(col("text")))
-      .where(size(col("toks")) >= 3)
+    val toks = tokens(col("text"))
+    val keyed = documents
+      .where(size(toks) >= 3)
       .select(col("doc_id"),
-        concat_ws(" ", element_at(col("toks"), 1), element_at(col("toks"), 2)).as("bucket"),
-        shingles(col("text")).as("sh"))
-    base.as("a").join(base.as("b"),
+        concat_ws(" ", element_at(toks, 1), element_at(toks, 2)).as("bucket"))
+      .join(shingleSets(documents), "doc_id")
+      .localCheckpoint(true) // referenced twice by the self-join below
+    keyed.as("a").join(keyed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
@@ -147,13 +163,18 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs, blocked per label class (the blocking key
-    * is a stand-in for an IVF/clustering assignment at scale). */
+    * is a stand-in for an IVF/clustering assignment at scale). Norms are
+    * materialized once per vector; each pair costs one primitive-loop
+    * dot product (graft.functions.VecDot). */
   def embeddingPairs(embeddings: DataFrame): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
       .where(col("cos_sim") >= 0.2)
   }
 }

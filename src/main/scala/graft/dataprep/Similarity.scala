@@ -24,9 +24,9 @@ object Similarity {
 
   /** Sign-bit bucket id of an embedding under `LshPlanes` hyperplanes. */
   def lshBucket(dim: Int) = {
-    val emb = VectorOps.toDouble(col("embedding"))
     (0 until LshPlanes).map { p =>
-      val dotP = (0 until dim).map(i => element_at(emb, i + 1) * lit(planeWeight(p, i)))
+      val dotP = (0 until dim).map(i =>
+        element_at(col("embedding"), i + 1).cast("double") * lit(planeWeight(p, i)))
         .reduce(_ + _)
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -98,19 +98,39 @@ object AcTrie {
     new AcTrie(seen.keys.toArray, seen.values.toArray)
   }
 
+  /** Dense, allocation-free transition table: per state a sorted char
+    * array + parallel target array, probed by binary search. The
+    * obvious `Map[Char,Int].get` costs an Option allocation per input
+    * character — at corpus scale that is hundreds of millions of
+    * allocations per task and measurably anti-scales under many-core
+    * contention (4.6× task-CPU inflation observed at local[32]). */
   private[functions] final class Automaton(
-      val next: Array[mutable.LongMap[Int]], // state -> (char -> state)
+      val chars: Array[Array[Char]], // state -> sorted transition chars
+      val targets: Array[Array[Int]], // state -> target states (parallel)
       val fail: Array[Int],
       val outputs: Array[Array[Int]]) extends Serializable {
+
+    private def goto(state: Int, c: Char): Int = {
+      val cs = chars(state)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = cs(mid)
+        if (v == c) return targets(state)(mid)
+        else if (v < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
     def step(state0: Int, c: Char): Int = {
       var state = state0
       while (true) {
-        next(state).get(c.toLong) match {
-          case Some(go) => return go
-          case None =>
-            if (state == 0) return 0
-            state = fail(state)
-        }
+        val go = goto(state, c)
+        if (go >= 0) return go
+        if (state == 0) return 0
+        state = fail(state)
       }
       0
     }
@@ -149,7 +169,11 @@ object AcTrie {
         fail(s) = next(f).get(c).filter(_ != s).getOrElse(0)
       }
     }
-    new Automaton(next.toArray, fail, out.map(_.toArray).toArray)
+    val chars = next.map(_.keys.toArray.map(_.toChar).sorted).toArray
+    val targets = next.zip(chars).map { case (t, cs) =>
+      cs.map(c => t(c.toLong))
+    }.toArray
+    new Automaton(chars, targets, fail, out.map(_.toArray).toArray)
   }
 
   val matchStruct: StructType = StructType(Seq(

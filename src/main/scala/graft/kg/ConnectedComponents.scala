@@ -30,6 +30,24 @@ object ConnectedComponents {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
+    // The alias graph is dictionary-sized relative to the corpus; a
+    // driver-looped fixpoint over it must not pay corpus-grade shuffle
+    // widths (32+ tasks per tiny stage dominate wall time). Size the
+    // loop's shuffles to the edge count, restore the session conf after.
+    val nEdges = edgesIn.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    val savedConf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try alternatingLoop(edgesIn, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", savedConf)
+  }
+
+  private def alternatingLoop(edgesIn: DataFrame, maxIter: Int): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+
     // Undirected edge set as canonical (hi, lo) pairs, hi > lo; self-loops dropped.
     def canon(df: DataFrame): DataFrame =
       df.select(
