@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-fault the heap: on this VM, lazy page-faulting under many
+  // executor threads showed up as 85-97% kernel time and 3-5x wall-time
+  // swings (BENCH/BASELINE.md §2). Costs ~1s at JVM start.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").toSeq)
