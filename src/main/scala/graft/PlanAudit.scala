@@ -38,8 +38,9 @@ object PlanAudit {
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath, sb.toString)
     println(s"wrote $out")
     spark.stop()
   }

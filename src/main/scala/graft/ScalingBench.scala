@@ -104,9 +104,11 @@ object ScalingBench {
     val tLow = best(LowCpus)
     val tHigh = best(HighCpus)
     val eff = (tLow / tHigh) / (HighCpus.toDouble / LowCpus)
-    val allRuns = runs.map { case (c, s, _, _) => f"""{"cpus":$c,"sec":$s%.2f}""" }
+    // locale-independent formatting (decimal-comma locales break JSON)
+    def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val allRuns = runs.map { case (c, s, _, _) => s"""{"cpus":$c,"sec":${f2(s)}}""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"bench":"scaling","sf":"$sfDir","replication":$Replication,"docs":$nDocs,"triples":$nTriples,"n_low":$LowCpus,"n_high":$HighCpus,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"efficiency":$eff%.3f,"tps_low":${nTriples / tLow}%.1f,"tps_high":${nTriples / tHigh}%.1f,"runs":$allRuns}""")
+      s"""{"bench":"scaling","sf":"$sfDir","replication":$Replication,"docs":$nDocs,"triples":$nTriples,"n_low":$LowCpus,"n_high":$HighCpus,"t_low_sec":${f2(tLow)},"t_high_sec":${f2(tHigh)},"efficiency":${Bench.f3(eff)},"tps_low":${Bench.f1(nTriples / tLow)},"tps_high":${Bench.f1(nTriples / tHigh)},"runs":$allRuns}""")
   }
 }

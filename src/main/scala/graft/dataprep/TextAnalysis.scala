@@ -46,14 +46,15 @@ object TextAnalysis {
   }
 
   /** Quality features: all integer/ratio arithmetic ⇒ bit-exact vs the
-    * SQL oracle. */
+    * SQL oracle. Documents with zero [a-z0-9] tokens are excluded (their
+    * ratios are undefined — 0/0 — and they carry no quality signal). */
   def quality(documents: DataFrame): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val nToks = size(toks).cast("long")
     val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long")
     val stop = size(filter(toks, t =>
       t === "the" || t === "a" || t === "of" || t === "and" || t === "to")).cast("long")
-    documents.select(
+    documents.where(nToks >= 1).select(
       col("doc_id"), col("n_chars"),
       nToks.as("n_tokens"),
       (alnum.cast("double") / nToks.cast("double")).as("avg_token_len"),

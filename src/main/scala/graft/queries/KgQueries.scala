@@ -79,7 +79,7 @@ object KgQueries {
       |  SELECT doc_id, span_idx, surface, coarse_type, entity_id, score FROM (
       |    SELECT *, row_number() OVER (
       |      PARTITION BY doc_id, span_idx, surface
-      |      ORDER BY score DESC, entity_id) AS rn
+      |      ORDER BY score DESC, entity_id DESC) AS rn
       |    FROM scored) WHERE rn = 1
       |)""".stripMargin
 
