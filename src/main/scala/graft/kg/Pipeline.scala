@@ -12,24 +12,30 @@ import graft.sources.SnapshotStore
   * canonicalize → triple-emit with per-partition snapshot checkpoints.
   *
   * Resume model: the corpus is hash-bucketed on doc_id; the expensive
-  * scan stage (mention detection) commits one snapshot PER BUCKET with
-  * an idempotence marker. Re-running after a crash consults the
-  * manifest markers and recomputes only missing buckets — the
-  * Dataset-level equivalent of the contract's "resumable from
-  * checkpoint with per-partition lineage + metrics". Downstream stages
-  * are dictionary-sized or aggregate-sized and re-derive cheaply, each
-  * behind its own marker.
+  * scan stage (mention detection) records one snapshot manifest PER
+  * BUCKET with an idempotence marker, but all missing buckets are
+  * computed and written in ONE job (`SnapshotStore.commitBuckets`,
+  * `partitionBy("bucket")`) — a fresh run scans the corpus exactly
+  * once, and a resume scans it once filtered to the missing buckets
+  * (the committed-marker anti-join happens driver-side on the
+  * O(buckets) marker list, never against the corpus). Downstream
+  * stages are dictionary-sized or aggregate-sized and re-derive
+  * cheaply, each behind its own marker.
   *
-  * At 10^12 docs the bucket count scales with the cluster (NB ≈ number
-  * of executor-hours per retry unit); everything else is unchanged —
-  * no driver-side state grows with corpus size except the manifest
-  * list.
+  * `bucketsPerScan` is the retry-unit knob: at the 10^12-doc design
+  * point you bound how much work one commit can lose by processing
+  * the missing buckets in groups (each group = one filtered scan +
+  * one atomic multi-bucket commit). The default (= NumBuckets) is the
+  * single-scan fast path; NumBuckets itself scales with the cluster
+  * (≈ executor-hours per retry unit). No driver-side state grows with
+  * corpus size except the manifest list.
   */
 object Pipeline {
 
   val NumBuckets = 8
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): SnapshotStore = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          bucketsPerScan: Int = NumBuckets): SnapshotStore = {
     val store = new SnapshotStore(outDir)
     val done = store.markers()
 
@@ -37,19 +43,19 @@ object Pipeline {
       .select(col("surface"), col("coarse_type"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 
-    // Stage 1: per-bucket mention detection (the only corpus-wide scan).
-    val docs = Corpus.docs(spark, sfDir)
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(NumBuckets)).cast("int"))
-    (0 until NumBuckets).foreach { b =>
-      val marker = s"mentions-bucket-$b"
-      if (!done.contains(marker)) {
-        val spans = Corpus.explodeSpans(
-          docs.where(col("bucket") === b).drop("bucket"))
-        val m = Engine.mentions(spans, gazSeq)
-          .withColumn("bucket", lit(b))
-        store.commit(m, stage = "mentions", marker = marker,
-          metrics = Map("bucket" -> b.toLong))
-      }
+    // Stage 1: mention detection — the only corpus-wide scan; one job
+    // for all missing buckets (grouped by the retry-unit knob).
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(NumBuckets)).cast("int")
+    val missing = (0 until NumBuckets)
+      .filterNot(b => done.contains(s"mentions-bucket-$b"))
+    missing.grouped(math.max(1, bucketsPerScan)).foreach { group =>
+      val docs = Corpus.docs(spark, sfDir)
+        .where(bucketOf(col("doc_id")).isin(group: _*))
+      val m = Engine.mentions(Corpus.explodeSpans(docs), gazSeq)
+        .withColumn("bucket", bucketOf(col("doc_id")))
+      store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
+        buckets = group, markerFor = b => s"mentions-bucket-$b")
     }
 
     val mentions = store.read(spark, stage = Some("mentions")).drop("bucket")

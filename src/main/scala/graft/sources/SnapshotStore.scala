@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** Thin snapshot/lineage store emulating the Iceberg table semantics the
@@ -89,11 +90,20 @@ final class SnapshotStore(rootStr: String) {
 
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
+  private def writeManifest(m: Manifest): Unit = {
+    val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".json")
+    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapsDir.resolve(s"${m.id}.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Atomic append commit. Returns the snapshot id, or None when the
     * marker was already committed (idempotent replay). `partitionBy`
     * lays the snapshot out as hive-style partition dirs so downstream
     * reads prune; `metrics` lands in the manifest (per-partition lineage,
-    * SURVEY.md §1.3). */
+    * SURVEY.md §1.3). The manifest's exact row count is observed DURING
+    * the write job (`df.observe`), not by re-reading the output — a
+    * read-back count would double write-path I/O at the 100 TB design
+    * point. */
   def commit(df: DataFrame, stage: String, marker: String,
              partitionBy: Seq[String] = Nil,
              metrics: Map[String, Long] = Map.empty): Option[Long] = synchronized {
@@ -101,21 +111,56 @@ final class SnapshotStore(rootStr: String) {
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
     val dir = dataDir.resolve(s"snap-$id")
-    val w = df.write.mode("overwrite")
+    val obs = Observation(s"snap-$id-rows")
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir.toString)
-    val rows = df.sparkSession.read.parquet(dir.toString).count()
-    val m = Manifest(id, dir.toString, stage, marker, rows,
-      (System.nanoTime() - t0) / 1000000L, metrics)
-    val tmp = Files.createTempFile(snapsDir, s".tmp-$id", ".json")
-    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapsDir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    writeManifest(Manifest(id, dir.toString, stage, marker, rows,
+      (System.nanoTime() - t0) / 1000000L, metrics))
     Some(id)
+  }
+
+  /** Bucketed commit: writes `df` ONCE, `partitionBy(bucketCol)`, and
+    * emits one manifest per bucket value pointing at that bucket's
+    * hive partition subdir — per-partition lineage (rows, wall) from a
+    * single scan of the input, instead of one scan per bucket. Buckets
+    * whose marker is already committed are filtered OUT of the write
+    * (resume = anti-join on committed markers, driver-side: the bucket
+    * list is O(buckets), never O(corpus)). Per-bucket row counts come
+    * from one `observe` on the write job. Zero-row buckets get a
+    * manifest (marker recorded, rows=0) but no data dir — `read`
+    * skips them. Returns the newly committed snapshot ids. */
+  def commitBuckets(df: DataFrame, stage: String, bucketCol: String,
+                    buckets: Seq[Int], markerFor: Int => String): Seq[Long] = synchronized {
+    val done = markers()
+    val todo = buckets.filterNot(b => done.contains(markerFor(b)))
+    if (todo.isEmpty) return Nil
+    val t0 = System.nanoTime()
+    val baseId = latestId.getOrElse(0L)
+    val dir = dataDir.resolve(s"snap-${baseId + 1}")
+    val obs = Observation(s"snap-${baseId + 1}-rows")
+    val perBucket = todo.map(b =>
+      count(when(col(bucketCol) === b, 1)).as(s"rows_$b"))
+    df.where(col(bucketCol).isin(todo: _*))
+      .observe(obs, perBucket.head, perBucket.tail: _*)
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(dir.toString)
+    val counts = obs.get
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    todo.zipWithIndex.map { case (b, i) =>
+      val id = baseId + 1 + i
+      writeManifest(Manifest(id, dir.resolve(s"$bucketCol=$b").toString,
+        stage, markerFor(b), counts(s"rows_$b").asInstanceOf[Long], wallMs,
+        Map("bucket" -> b.toLong)))
+      id
+    }
   }
 
   /** Read the table as of snapshot `asOf` (inclusive), or latest. Union
     * of committed data dirs — Spark reads them as one multi-path scan,
-    * so partition pruning & pushdown apply per file as usual. */
+    * so partition pruning & pushdown apply per file as usual. Zero-row
+    * bucket snapshots (marker-only, no data dir) are skipped. */
   def read(spark: SparkSession, schema: Option[StructType] = None,
            asOf: Option[Long] = None, stage: Option[String] = None): DataFrame = {
     val ms0 = manifests()
@@ -123,8 +168,11 @@ final class SnapshotStore(rootStr: String) {
       .filter(m => asOf.forall(m.id <= _))
       .filter(m => stage.forall(m.stage == _))
     require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
+    val dirs = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
+    require(dirs.nonEmpty,
+      s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")
     val rd = schema.map(spark.read.schema).getOrElse(spark.read)
-    rd.parquet(ms.map(_.dir): _*)
+    rd.parquet(dirs: _*)
   }
 
   /** Lineage table: one row per snapshot (SURVEY.md §1.3). */

@@ -22,6 +22,17 @@ class PipelineSpec extends SparkSuite {
     val want = tripleSet(Stages.triples(spark, sf))
     assert(got == want && got.nonEmpty)
 
+    // single-scan guard (VERDICT r1 #1): all NumBuckets mention
+    // manifests must come from ONE write job — i.e. share one snap-N
+    // parent dir — not one corpus scan per bucket.
+    val mentionDirs = store.manifests().filter(_.stage == "mentions").map(_.dir)
+    assert(mentionDirs.size == Pipeline.NumBuckets)
+    assert(mentionDirs.map(d => java.nio.file.Paths.get(d).getParent).toSet.size == 1)
+    // per-partition lineage: every bucket manifest carries its bucket id
+    val buckets = store.manifests().filter(_.stage == "mentions")
+      .flatMap(_.metrics.get("bucket")).toSet
+    assert(buckets == (0 until Pipeline.NumBuckets).map(_.toLong).toSet)
+
     val nSnaps = store.manifests().size
     val store2 = Pipeline.run(spark, sf, out) // resume on a complete run
     assert(store2.manifests().size == nSnaps) // nothing recommitted
@@ -31,18 +42,18 @@ class PipelineSpec extends SparkSuite {
     val out = Files.createTempDirectory("pipe-resume").toString
     val store = new graft.sources.SnapshotStore(out)
 
-    // simulate a run that died after committing buckets 0..3
+    // simulate a run that died after committing buckets 0..3 (one
+    // grouped scan, e.g. bucketsPerScan=4, crashed before the second)
     val gazSeq = Stages.gazetteer(spark, sf)
       .select(col("surface"), col("coarse_type"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
-    val docs = Corpus.docs(spark, sf)
-      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(Pipeline.NumBuckets)).cast("int"))
-    (0 until 4).foreach { b =>
-      val spans = Corpus.explodeSpans(docs.where(col("bucket") === b).drop("bucket"))
-      store.commit(Engine.mentions(spans, gazSeq).withColumn("bucket", lit(b)),
-        stage = "mentions", marker = s"mentions-bucket-$b",
-        metrics = Map("bucket" -> b.toLong))
-    }
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(Pipeline.NumBuckets)).cast("int")
+    val docs = Corpus.docs(spark, sf).where(bucketOf(col("doc_id")).isin(0 to 3: _*))
+    val m = Engine.mentions(Corpus.explodeSpans(docs), gazSeq)
+      .withColumn("bucket", bucketOf(col("doc_id")))
+    store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
+      buckets = 0 to 3, markerFor = b => s"mentions-bucket-$b")
     val preIds = store.manifests().map(_.id).toSet
     assert(preIds.size == 4)
 
@@ -54,5 +65,15 @@ class PipelineSpec extends SparkSuite {
     val got = tripleSet(resumed.read(spark, stage = Some("triples")))
     val want = tripleSet(Stages.triples(spark, sf))
     assert(got == want)
+  }
+
+  test("bucketsPerScan retry-unit knob: grouped scans produce identical output") {
+    val out = Files.createTempDirectory("pipe-grouped").toString
+    val store = Pipeline.run(spark, sf, out, bucketsPerScan = 3)
+    // 8 buckets in groups of 3 → 3 write jobs → 3 distinct snap parents
+    val mentionDirs = store.manifests().filter(_.stage == "mentions").map(_.dir)
+    assert(mentionDirs.map(d => java.nio.file.Paths.get(d).getParent).toSet.size == 3)
+    val got = tripleSet(store.read(spark, stage = Some("triples")))
+    assert(got == tripleSet(Stages.triples(spark, sf)))
   }
 }

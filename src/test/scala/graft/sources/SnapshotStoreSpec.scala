@@ -40,6 +40,26 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(store.manifests().size == 1)
   }
 
+  test("commitBuckets: one write job, per-bucket lineage, empty buckets marker-only, replay no-op") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    val df = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("k", "v", "bucket")
+    val ids = store.commitBuckets(df, "s", "bucket", Seq(0, 1, 2), b => s"s-b$b")
+    assert(ids.size == 3)
+    assert(store.markers() == Set("s-b0", "s-b1", "s-b2"))
+    val ms = store.manifests()
+    // observe-counted per-bucket rows; bucket 2 has no data at all
+    assert(ms.map(m => m.metrics("bucket") -> m.rows).toMap ==
+      Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
+    // one write job → all manifests share one snap-N parent dir
+    assert(ms.map(m => java.nio.file.Paths.get(m.dir).getParent).toSet.size == 1)
+    // read skips the empty bucket; bucket is a path, not a data column
+    val rd = store.read(spark, stage = Some("s"))
+    assert(rd.columns.toSet == Set("k", "v") && rd.count() == 3)
+    // replay: committed buckets are filtered out driver-side
+    assert(store.commitBuckets(df, "s", "bucket", Seq(0, 1, 2), b => s"s-b$b").isEmpty)
+  }
+
   test("crash-resume exactly-once: data without manifest is invisible; resume completes") {
     import spark.implicits._
     val (store, dir) = freshStore()
