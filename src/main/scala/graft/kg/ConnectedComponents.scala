@@ -86,10 +86,12 @@ object ConnectedComponents {
       val small = canon(smallNbr.union(selfLink))
 
       val next = small.localCheckpoint(true)
-      // fixpoint: edge multiset stable (both are distinct sets ⇒ compare via anti-joins)
-      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
-      val shrank = edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
-      converged = grew == 0 && shrank == 0
+      // fixpoint: edge multiset stable (both are distinct sets ⇒ compare
+      // via anti-joins). ONE driver action per round: union the two
+      // early-limited anti-joins and ask for a single surviving row.
+      converged = next.join(edges, Seq("u", "v"), "left_anti").limit(1)
+        .union(edges.join(next, Seq("u", "v"), "left_anti").limit(1))
+        .limit(1).isEmpty
       edges = next
       iter += 1
     }

@@ -64,13 +64,31 @@ object Engine {
   def canonical(aliasEdges: DataFrame): DataFrame =
     ConnectedComponents.alternating(aliasEdges.select(col("src"), col("dst")))
 
+  /** Broadcast ceiling for the canonical map: ~10M (id, id) string pairs
+    * ≈ low hundreds of MB — safely collectable on a production driver.
+    * Above it (real Wikipedia is 10^7–10^8 entities and the 10^12-doc
+    * design point implies more) an unconditional broadcast would OOM
+    * the driver, so the join falls back to a shuffle. */
+  val BroadcastCanonMaxRows: Long = 10000000L
+
   /** Triple emit: mention + typing + media-adjacency triples,
-    * canonicalized and deduplicated. `canon` is broadcast — alias maps
-    * are dictionary-sized, not corpus-sized. */
-  def triples(links: DataFrame, canon: DataFrame, spans: DataFrame): DataFrame = {
+    * canonicalized and deduplicated.
+    *
+    * `canonRows` size-gates the canonical-map join: when the caller
+    * knows the row count (snapshot manifests carry it; fixture
+    * dictionaries are bounded by construction) and it is under
+    * [[BroadcastCanonMaxRows]], the join is broadcast-hinted; when it
+    * is known-large or unknown, no hint is applied and Catalyst/AQE
+    * pick from actual stats — a corpus-scale canon map then shuffles
+    * instead of OOMing the driver. */
+  def triples(links: DataFrame, canon: DataFrame, spans: DataFrame,
+              canonRows: Option[Long] = None): DataFrame = {
+    val canonSide = canon.withColumnRenamed("entity_id", "eid")
+    val canonHinted =
+      if (canonRows.exists(_ <= BroadcastCanonMaxRows)) broadcast(canonSide)
+      else canonSide
     val lkc = links
-      .join(broadcast(canon.withColumnRenamed("entity_id", "eid")),
-        col("entity_id") === col("eid"), "left")
+      .join(canonHinted, col("entity_id") === col("eid"), "left")
       .select(col("doc_id"), col("span_idx"), col("coarse_type"),
         coalesce(col("canonical_id"), col("entity_id")).as("entity"))
 

@@ -77,9 +77,13 @@ object Pipeline {
     val canon = store.read(spark, stage = Some("canonical"))
 
     // Stage 5: triple emit, partitioned by predicate for pruned reads.
+    // The canonical map's exact row count is free from its snapshot
+    // manifest — it size-gates the broadcast inside Engine.triples.
     if (!store.markers().contains("triples")) {
+      val canonRows = store.manifests()
+        .filter(_.stage == "canonical").map(_.rows).sum
       val spans = Corpus.explodeSpans(Corpus.docs(spark, sfDir))
-      val triples = Engine.triples(links, canon, spans)
+      val triples = Engine.triples(links, canon, spans, Some(canonRows))
       store.commit(triples, stage = "triples", marker = "triples",
         partitionBy = Seq("pred"))
     }

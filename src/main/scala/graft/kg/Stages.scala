@@ -93,5 +93,8 @@ object Stages {
     Engine.canonical(aliasEdges(spark, dir))
 
   def triples(spark: SparkSession, dir: String): DataFrame =
-    Engine.triples(links(spark, dir), canonicalMap(spark, dir), spans(spark, dir))
+    // canon size is bounded by construction: ≤3 entity nodes (E0/E1/E2)
+    // per gazetteer surface → broadcast-eligible without a count job
+    Engine.triples(links(spark, dir), canonicalMap(spark, dir), spans(spark, dir),
+      canonRows = Some(3L * GazetteerSize))
 }

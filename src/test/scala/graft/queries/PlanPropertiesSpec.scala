@@ -47,4 +47,29 @@ class PlanPropertiesSpec extends SparkSuite {
     val p = executedPlan("join_salted")
     assert(p.contains("salt"), p.take(800))
   }
+
+  test("canon broadcast is size-gated: known-large canonical maps shuffle-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val links = Seq(("d1", 0, "PER", "E1_x", 1.4))
+      .toDF("doc_id", "span_idx", "coarse_type", "entity_id", "score")
+    val spans = Seq(("d1", 0, "text", "x", "", 0), ("d1", 1, "image", "fig", "media://m", 1))
+      .toDF("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    val canon = spark.range(2000000).select(
+      concat(lit("E"), col("id")).as("entity_id"),
+      concat(lit("E"), pmod(col("id"), lit(100))).as("canonical_id"))
+
+    def canonJoin(rows: Option[Long]): String =
+      graft.kg.Engine.triples(links, canon, spans, rows)
+        .queryExecution.sparkPlan.toString
+
+    // known-small → broadcast hint honored
+    val small = canonJoin(Some(90L))
+    assert(small.contains("BroadcastHashJoin"), small.take(1200))
+    // known-large → no hint; 2M-row stats keep it off the broadcast path
+    val large = canonJoin(Some(graft.kg.Engine.BroadcastCanonMaxRows + 1))
+    val eidJoinIsBroadcast = large.linesIterator
+      .exists(l => l.contains("BroadcastHashJoin") && l.contains("eid"))
+    assert(!eidJoinIsBroadcast, large.take(1200))
+  }
 }
