@@ -1,36 +1,31 @@
 package graft.dataprep
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.VecLshBucket
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (task brief): brute-force cosine top-k as the correctness baseline,
   * and a random-hyperplane LSH-bucketed variant as the scale path —
   * buckets turn the O(n·q) scan into an equi-join on bucket id, the
   * same shape an IVF index gives a 100 TB corpus.
+  *
+  * The bucket function is [[graft.functions.VecLshBucket]]: components
+  * quantized to milli-units, integer hyperplane weights, exact 64-bit
+  * plane dot products. Pure integer arithmetic means (a) one codegen'd
+  * primitive loop per row instead of an interpreted 6×64-term column
+  * tree, and (b) the DuckDB oracle computes bit-identical buckets — no
+  * float-summation-order sign flips near a hyperplane.
   */
 object Similarity {
 
   val LshPlanes = 6
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * a fixed integer mix (no Math.random — reproducible across runs and
-    * expressible as a Column for codegen). */
-  private def planeWeight(p: Int, dim: Int): Double = {
-    var h = p.toLong * 1315423911L + dim.toLong * 0x9E3779B97F4A7C15L
-    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
-    (Math.floorMod(h, 2001L) - 1000L) / 1000.0
-  }
-
   /** Sign-bit bucket id of an embedding under `LshPlanes` hyperplanes. */
-  def lshBucket(dim: Int) = {
-    (0 until LshPlanes).map { p =>
-      val dotP = (0 until dim).map(i =>
-        element_at(col("embedding"), i + 1).cast("double") * lit(planeWeight(p, i)))
-        .reduce(_ + _)
-      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def lshBucket(embedding: Column, planes: Int = LshPlanes): Column =
+    VecLshBucket(embedding, planes)
 
   /** Brute-force cosine top-k against the query vector `queryVecId`.
     * The query side is a 1-row broadcast; the scan side stays fully
@@ -48,8 +43,8 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share the query's hyperplane bucket;
     * exact cosine re-rank inside the bucket only. */
-  def lshTopK(embeddings: DataFrame, dim: Int, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
-    val withBucket = embeddings.withColumn("bucket", lshBucket(dim))
+  def lshTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
+    val withBucket = embeddings.withColumn("bucket", lshBucket(col("embedding")))
     val q = withBucket.where(col("vec_id") === queryVecId)
       .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
     withBucket.where(col("vec_id") =!= queryVecId)
@@ -58,5 +53,28 @@ object Similarity {
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch ANN (the training-pipeline shape): a query SET joined
+    * against the corpus on bucket id — ONE equi-join however many
+    * queries there are, then per-query top-k via window rank. The
+    * query side is broadcast-hinted (query sets are small relative to
+    * the corpus); at corpus-sized query sets drop the hint and the
+    * same plan shuffles both sides on `bucket`. */
+  def lshTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    val corpus = embeddings.withColumn("bucket", lshBucket(col("embedding")))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_bucket", lshBucket(col("q_emb")))
+    val ranked = corpus
+      .join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+    ranked.where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
   }
 }

@@ -48,17 +48,30 @@ class DedupSpec extends SparkSuite {
     assert(near > 0.0 && near < 1.0)
   }
 
-  test("embedding near-dup within label blocks") {
+  test("embedding near-dup within LSH buckets; opposite vectors never pair") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
       (1L, Array(0.999f, 0.04f, 0.0f), 1), // near-dup of 0
-      (2L, Array(0.0f, 1.0f, 0.0f), 1),
-      (3L, Array(1.0f, 0.0f, 0.0f), 2) // same vector, different block → not paired
+      (2L, Array(-1.0f, -0.2f, 0.1f), 1), // opposite hemisphere
+      (3L, Array(1.0f, 0.0f, 0.0f), 2) // identical vector, OTHER label — blocking is content-based now
     ).toDF("vec_id", "embedding", "label")
     val pairs = Dedup.embeddingPairs(emb).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.99)
-    assert(!pairs.keySet.exists(p => p._2 == 3L))
+    assert(pairs.get((0L, 3L)).contains(1.0)) // exact dup found across labels
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // opposite vector: different bucket or cos < 0.2
+  }
+
+  test("ngram-jaccard blocking is skew-safe on zipfian leading tokens") {
+    // 200 docs all starting "the the the" (the old first-two-token key
+    // put ALL of them in one bucket → quadratic); distinct bodies must
+    // spread across MinHash-band buckets.
+    val zipf = (0L until 200L).map { i =>
+      (i, s"the the the body$i token${i * 7} filler${i % 13} unique${i * 31} tail${i * 3} x${i} y${i} z${i}")
+    }.toDF("doc_id", "text")
+    val nPerms = Dedup.JaccardBands * Dedup.JaccardRows
+    val keyed = Dedup.ngramJaccardPairs(zipf) // exercises the path end-to-end
+    assert(keyed.collect().length < 50) // no quadratic blow-up (old key: 19900 pairs)
   }
 }
 
@@ -86,11 +99,26 @@ class SimilaritySpec extends SparkSuite {
   test("LSH candidates are a subset sharing the query bucket; scores exact") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 200).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lsh = Similarity.lshTopK(emb, dim = 8, queryVecId = 0L, k = 50).collect()
+    val lsh = Similarity.lshTopK(emb, queryVecId = 0L, k = 50).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(lsh.nonEmpty)
     assert(lsh.map(_._2).distinct.length == 1) // all in the query's bucket
     lsh.foreach { case (id, _, cos) => assert(brute(id) == cos) }
+  }
+
+  test("batch ANN is one bucket equi-join with per-query top-k") {
+    val queries = emb.where(col("vec_id") % 40 === 0) // 5 queries
+    val res = Similarity.lshTopKBatch(emb, queries, k = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sims = rs.sortBy(_._4).map(_._3)
+      assert(sims.sorted.reverse.toSeq == sims.toSeq) // ranked by cosine desc
+    }
+    rows.foreach { case (q, v, _, _) => assert(q != v) } // self excluded
   }
 }
 
