@@ -241,6 +241,28 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    "agg_cube" -> Q(
+      ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |""" + dsumSql("l_quantity") + """ AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""").stripMargin)(
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    "agg_grouping_sets" -> Q(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)(
+      (s, d) => {
+        // A5: grouping sets are SQL-only in Spark's surface — register
+        // the scan as a temp view and go through spark.sql.
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gsets")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n
+            |FROM lineitem_gsets
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+      }),
+
     "agg_collect" -> Q(
       """SELECT l_orderkey,
         |  string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines

@@ -36,11 +36,12 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
-  /** ST2: sliding window sums. */
+  /** ST2: sliding window sums (10-minute windows every 2 minutes,
+    * SURVEY.md §2.9). */
   def slidingSums(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .groupBy(window(col("ts"), "10 minutes", "2 minutes"), col("user_id"))
       .agg(sum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("user_id"), col("total"))
 
@@ -59,20 +60,54 @@ object StreamOps {
 
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Idle-state TTL for ST4b: a user whose last event is this far
+    * behind the watermark is evicted. Event-time (not processing-time)
+    * on purpose: expiry is then deterministic and replayable, and the
+    * query only does work when data arrives — a processing-time
+    * timeout keeps the no-data query permanently busy (and hangs
+    * processAllAvailable in tests). */
+  val UserStateTimeoutMs: Long = 30L * 60L * 1000L
+
+  /** ST4b state transition, extracted so the expiry branch is directly
+    * unit-testable. On timeout the key's state is REMOVED — the key
+    * space (users) is unbounded, so state without a TTL grows without
+    * bound (VERDICT r1 #9). */
+  private[streaming] def userAggUpdate(
+      user: Long, rows: Iterator[(java.sql.Timestamp, Long, Double)],
+      state: GroupState[(Long, Double)]): Iterator[UserAgg] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+      var n = n0; var v = v0
+      var lastMs = 0L
+      rows.foreach { r =>
+        n += 1; v += r._3
+        if (r._1.getTime > lastMs) lastMs = r._1.getTime
+      }
+      state.update((n, v))
+      // TTL anchored at the user's LAST EVENT (not the current
+      // watermark, which starts at epoch and would expire every key
+      // after the first batch): evict once the watermark passes
+      // last-event + TTL.
+      state.setTimeoutTimestamp(
+        math.max(lastMs, state.getCurrentWatermarkMs()) + UserStateTimeoutMs)
+      Iterator.single(UserAgg(user, n, v))
+    }
+
   /** ST4b: explicit per-key state via flatMapGroupsWithState — running
-    * per-user aggregates emitted on every update. */
-  def statefulUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    * per-user aggregates emitted on every update, idle keys expired on
+    * an event-time timeout once the watermark passes their TTL. */
+  def statefulUserCounts(spark: SparkSession, events: DataFrame,
+                         delay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    events.selectExpr("user_id", "value").as[(Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var v = v0
-          rows.foreach { r => n += 1; v += r._2 }
-          state.update((n, v))
-          Iterator.single(UserAgg(user, n, v))
-        })
+    events.withWatermark("ts", delay)
+      .selectExpr("ts", "user_id", "value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(userAggUpdate _)
       .toDF()
   }
 

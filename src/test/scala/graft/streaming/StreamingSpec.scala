@@ -81,11 +81,13 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val out = spark.table("st2_out").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      // event @10:01 lands in [9:55,10:05) and [10:00,10:10);
-      // event @10:07 in [10:00,10:10) and [10:05,10:15)
-      assert(out((Timestamp.valueOf("2024-01-01 09:55:00"), 1L)) == 2.0)
+      // width 10m, slide 2m: event @10:01 lands in starts 9:52..10:00,
+      // event @10:07 in starts 9:58..10:06; they overlap in [9:58,10:08)
+      // and [10:00,10:10).
+      assert(out((Timestamp.valueOf("2024-01-01 09:54:00"), 1L)) == 2.0)
+      assert(out((Timestamp.valueOf("2024-01-01 09:58:00"), 1L)) == 5.0)
       assert(out((ts(0), 1L)) == 5.0)
-      assert(out((ts(5), 1L)) == 3.0)
+      assert(out((ts(6), 1L)) == 3.0)
     } finally q.stop()
   }
 
@@ -124,6 +126,42 @@ class StreamingSpec extends SparkSuite {
       assert(rows.contains((1L, 2L, 17.0)), rows.mkString(","))
       assert(rows.contains((2L, 1L, 5.0)))
     } finally q.stop()
+  }
+
+  test("ST4b: idle user state expires on timeout (remove + no emission)") {
+    import org.apache.spark.sql.streaming.GroupState
+    final class FakeState(var value: Option[(Long, Double)], timedOut: Boolean)
+        extends GroupState[(Long, Double)] {
+      var removed = false
+      var timeoutSet: Option[Long] = None
+      override def exists: Boolean = value.isDefined
+      override def get: (Long, Double) = value.get
+      override def getOption: Option[(Long, Double)] = value
+      override def update(s: (Long, Double)): Unit = value = Some(s)
+      override def remove(): Unit = { removed = true; value = None }
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(ms: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = timeoutSet = Some(ms)
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 1000L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+
+    // live path: accumulates, re-arms the TTL at watermark + TTL
+    val live = new FakeState(Some((2L, 5.0)), timedOut = false)
+    val out = StreamOps.userAggUpdate(7L,
+      Iterator((ts(1), 7L, 1.0), (ts(2), 7L, 2.0)), live).toSeq
+    assert(out == Seq(StreamOps.UserAgg(7L, 4L, 8.0)))
+    assert(live.value.contains((4L, 8.0)))
+    assert(live.timeoutSet.contains(ts(2).getTime + StreamOps.UserStateTimeoutMs))
+
+    // expiry path: state removed, nothing emitted, TTL not re-armed
+    val idle = new FakeState(Some((9L, 1.0)), timedOut = true)
+    val out2 = StreamOps.userAggUpdate(8L, Iterator.empty, idle).toSeq
+    assert(out2.isEmpty && idle.removed && idle.timeoutSet.isEmpty)
   }
 
   test("ST4a: dropDuplicatesWithinWatermark removes replayed event_ids") {
