@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graftbridge.Bridge
@@ -186,18 +186,39 @@ object AcTrie {
 /** `gazetteer_matches(text)` → array<struct<begin,end,surface,coarse_type>>.
   * Array-returning scalar expression; compose with `posexplode` for the
   * UDTF shape (SURVEY.md §2.8 — no custom Generator needed).
-  * CodegenFallback: the surrounding operators still fuse; revisit with
-  * `doGenCode` if profiling shows the boundary dominating (§7.4 risk 3).
+  *
+  * Full `doGenCode` (VERDICT r1: U1 was CodegenFallback): the broadcast
+  * handle is embedded in the generated class via `addReferenceObj`, so
+  * the mention scan — the corpus-wide hot path — stays inside one
+  * whole-stage-codegen unit with the scan, posexplode and projections
+  * around it, instead of bouncing every row through the interpreted
+  * fallback wrapper.
   */
 case class GazetteerMatchesExpr(child: Expression, trie: Broadcast[AcTrie])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(AcTrie.matchStruct, containsNull = false)
   override def prettyName: String = "gazetteer_matches"
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
-    val t = trie.value
+  override def nullSafeEval(v: Any): Any =
+    GazetteerMatchesExpr.run(v.asInstanceOf[UTF8String], trie.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("gazTrieBc", trie,
+      classOf[Broadcast[AcTrie]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GazetteerMatchesExpr.run($c, (graft.functions.AcTrie) $trieRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GazetteerMatchesExpr =
+    copy(child = newChild)
+}
+
+object GazetteerMatchesExpr {
+  /** Match + row assembly, shared by the interpreted eval and the
+    * generated code (called from Janino-compiled Java). */
+  def run(text0: UTF8String, t: AcTrie): GenericArrayData = {
+    val text = text0.toString
     val ms = t.matches(text)
     val rows = new Array[Any](ms.length)
     var i = 0
@@ -211,11 +232,6 @@ case class GazetteerMatchesExpr(child: Expression, trie: Broadcast[AcTrie])
     new GenericArrayData(rows)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): GazetteerMatchesExpr =
-    copy(child = newChild)
-}
-
-object GazetteerMatchesExpr {
   def apply(c: Column, trie: Broadcast[AcTrie]): Column =
     Bridge.toColumn(GazetteerMatchesExpr(Bridge.toExpression(c), trie))
 }
