@@ -67,9 +67,13 @@ object Bench {
       val n = graft.kg.Stages.triples(spark, sfDir).count()
       (n, (System.nanoTime() - t0) / 1e9)
     }
+    // best-of-3: the headline metric gets one more repeat than the
+    // per-query times — the first pipeline run lands right after 2×62
+    // noop-written queries and routinely pays their memory pressure
     val (nTriples, p1) = pipeOnce()
     val (_, p2) = pipeOnce()
-    val pipeSec = math.min(p1, p2)
+    val (_, p3) = pipeOnce()
+    val pipeSec = Seq(p1, p2, p3).min
     val tps = nTriples / pipeSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }

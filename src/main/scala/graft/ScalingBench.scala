@@ -84,7 +84,10 @@ object ScalingBench {
       val spans = Corpus.explodeSpans(docs)
       val links = Engine.links(
         Engine.candidates(Engine.mentions(spans, gazSeq), anchor), Stages.scoreBoost)
-      val triples = Engine.triples(links, Engine.canonical(edges), spans)
+      // canon is bounded by the alias dictionary (≤3 nodes/surface) —
+      // known-small, broadcast-eligible without a count job
+      val triples = Engine.triples(links, Engine.canonical(edges), spans,
+        canonRows = Some(3L * Stages.GazetteerSize))
       val nTriples = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, nDocs, nTriples)

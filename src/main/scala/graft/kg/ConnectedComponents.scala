@@ -1,5 +1,7 @@
 package graft.kg
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -23,10 +25,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge sets at or under this row count are solved with a driver-side
+    * union-find instead of the distributed fixpoint. One driver-looped
+    * large-star/small-star round costs several whole Spark jobs of
+    * fixed scheduling latency — for a dictionary-sized alias graph that
+    * constant dominates (and being parallelism-independent, it also
+    * poisons cluster-scaling efficiency). Collecting ≤1M (src, dst)
+    * string pairs is the same driver-memory class as a broadcast-join
+    * build side; genuinely large graphs take the distributed path. */
+  val LocalEdgeThreshold = 1000000L
+
   /** Driver-orchestrated fixpoint loop; each iteration is a fresh job.
     * `localCheckpoint` every round truncates lineage so plans don't grow
-    * exponentially across iterations. */
-  def alternating(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    * exponentially across iterations. Tiny graphs short-circuit to a
+    * driver-local union-find (same output contract, differentially
+    * tested against the distributed path). */
+  def alternating(edgesIn: DataFrame, maxIter: Int = 50,
+                  localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
@@ -35,6 +50,7 @@ object ConnectedComponents {
     // widths (32+ tasks per tiny stage dominate wall time). Size the
     // loop's shuffles to the edge count, restore the session conf after.
     val nEdges = edgesIn.count()
+    if (nEdges <= localThreshold) return localUnionFind(edgesIn)
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
@@ -42,6 +58,39 @@ object ConnectedComponents {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try alternatingLoop(edgesIn, maxIter)
     finally spark.conf.set("spark.sql.shuffle.partitions", savedConf)
+  }
+
+  /** Driver-local path-compressed union-find for driver-collectable
+    * graphs; canonical_id = lexicographic min of the component (the
+    * same contract as the distributed path). */
+  private def localUnionFind(edgesIn: DataFrame): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.select($"src".cast("string"), $"dst".cast("string"))
+      .as[(String, String)].collect()
+    val parent = mutable.HashMap.empty[String, String]
+    def find(x0: String): String = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots chosen as union-by-min above; one more sweep guarantees the
+    // lexicographic component min even across merge orders
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val rows = byRoot.iterator.flatMap { case (_, members) =>
+      val m = members.min
+      members.iterator.map(n => (n, m))
+    }.toSeq
+    spark.createDataset(rows).toDF("entity_id", "canonical_id")
   }
 
   private def alternatingLoop(edgesIn: DataFrame, maxIter: Int): DataFrame = {

@@ -18,7 +18,9 @@ class ConnectedComponentsSpec extends SparkSuite {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
     val out = algo match {
-      case "alt" => ConnectedComponents.alternating(df)
+      case "alt" => ConnectedComponents.alternating(df) // local union-find fast path
+      case "altDist" => // distributed large-star/small-star, forced
+        ConnectedComponents.alternating(df, localThreshold = 0L)
       case _ => ConnectedComponents.minLabel(df)
     }
     out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -29,11 +31,12 @@ class ConnectedComponentsSpec extends SparkSuite {
       (f"n${rnd.nextInt(n)}%03d", f"n${rnd.nextInt(n)}%03d")
     }.filter(e => e._1 != e._2)
 
-  test("alternating ≡ union-find on random graphs") {
+  test("alternating ≡ union-find on random graphs (both the local fast path and the forced distributed loop)") {
     val rnd = new Random(99L)
     for (round <- 0 until 4) {
       val edges = randomGraph(rnd, 25, 30)
       assert(run("alt", edges) == ufComponents(edges), s"round $round: $edges")
+      assert(run("altDist", edges) == ufComponents(edges), s"round $round dist: $edges")
     }
   }
 
