@@ -18,6 +18,9 @@ object PlanAudit {
     "agg_hash",        // expect partial+final HashAggregate, WSCG spans
     "kg_mentions",     // expect Generate(posexplode) inside the scan stage
     "ann_bruteforce",  // expect broadcast of the 1-row query side
+    "ann_lsh_batch",   // expect ONE equi-join on bucket + window rank
+    "dedup_minhash_pairs", // expect band equi-join, no cartesian
+    "kg_triples",      // expect broadcast canon join + single wide dedup
     "topk")            // expect TakeOrderedAndProject, not global sort
 
   def main(args: Array[String]): Unit = {

@@ -92,23 +92,28 @@ object Engine {
       .select(col("doc_id"), col("span_idx"), col("coarse_type"),
         coalesce(col("canonical_id"), col("entity_id")).as("entity"))
 
-    val mentionTriples = lkc.select(
-      col("entity").as("subj"), lit("mentionedIn").as("pred"),
-      concat(lit("doc:"), col("doc_id")).as("obj"))
-
-    val typingTriples = lkc.select(
-      col("entity").as("subj"), lit("hasType").as("pred"),
-      col("coarse_type").as("obj"))
-
+    // ONE pass over the links subtree: a union of three per-type
+    // selects would plan the (corpus-grade) links subtree three times
+    // — instead, left-join the media adjacency once and explode an
+    // array of the three triple shapes per row. Rows duplicated by
+    // multiple adjacent media spans are absorbed by the final dedup
+    // (set semantics), exactly as the union form was.
     val media = spans.where(col("kind") =!= "text")
       .select(col("doc_id").as("m_doc"), col("span_idx").as("m_idx"), col("media_ref"))
-    val mediaTriples = lkc
+    lkc
       .join(media, col("doc_id") === col("m_doc") &&
-        (col("span_idx") === col("m_idx") - 1 || col("span_idx") === col("m_idx") + 1))
-      .select(col("entity").as("subj"), lit("depictedIn").as("pred"),
-        col("media_ref").as("obj"))
-
-    mentionTriples.unionByName(typingTriples).unionByName(mediaTriples)
+        (col("span_idx") === col("m_idx") - 1 || col("span_idx") === col("m_idx") + 1),
+        "left")
+      .select(explode(filter(array(
+        struct(col("entity").as("subj"), lit("mentionedIn").as("pred"),
+          concat(lit("doc:"), col("doc_id")).as("obj")),
+        struct(col("entity").as("subj"), lit("hasType").as("pred"),
+          col("coarse_type").as("obj")),
+        when(col("media_ref").isNotNull,
+          struct(col("entity").as("subj"), lit("depictedIn").as("pred"),
+            col("media_ref").as("obj")))),
+        x => x.isNotNull)).as("t"))
+      .select(col("t.subj").as("subj"), col("t.pred").as("pred"), col("t.obj").as("obj"))
       .dropDuplicates("subj", "pred", "obj")
   }
 

@@ -79,6 +79,11 @@ object Pipeline {
     // Stage 5: triple emit, partitioned by predicate for pruned reads.
     // The canonical map's exact row count is free from its snapshot
     // manifest — it size-gates the broadcast inside Engine.triples.
+    // The media-adjacency pass below re-reads the corpus, but only the
+    // (kind, media_ref) nested fields: on a real nested-parquet corpus
+    // Catalyst's nested-schema pruning reads a small fraction of the
+    // bytes the text-bearing mention scan pays (the fixture derives
+    // spans from flat text, so pruning can't show up at test scale).
     if (!store.markers().contains("triples")) {
       val canonRows = store.manifests()
         .filter(_.stage == "canonical").map(_.rows).sum
