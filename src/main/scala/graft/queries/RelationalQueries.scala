@@ -182,6 +182,54 @@ object RelationalQueries {
           .select("event_id", "user_id", "prior_purchase_ts")
       }),
 
+    "join_bucketed" -> Q(
+      """SELECT l_orderkey, count(*) AS n_items, max(o_totalprice) AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY l_orderkey""".stripMargin)(
+      (s, d) => {
+        // Co-located join via bucketing (task brief: "bucketing for
+        // co-located joins"): both tables are materialized bucketed AND
+        // sorted on the join key, so the join AND the follow-up groupBy
+        // on that key run with ZERO shuffles — the layout investment a
+        // 100 TB fact table pays once and amortizes over every join.
+        // The in-memory catalog is per-session: first call in a session
+        // writes, later calls reuse (Bench's second pass measures the
+        // post-layout cost, which is the steady-state number).
+        val sfx = java.lang.Long.toHexString(
+          java.util.Objects.hashCode(d).toLong & 0xffffffffL)
+        val lt = s"lineitem_bkt_$sfx"
+        val ot = s"orders_bkt_$sfx"
+        // The in-memory catalog forgets tables across sessions but their
+        // warehouse dirs persist — clear a leftover location before
+        // (re)creating, or CTAS fails with locationAlreadyExists.
+        def ensure(name: String)(write: => Unit): Unit =
+          if (!s.catalog.tableExists(name)) {
+            val wh = s.conf.get("spark.sql.warehouse.dir")
+            val loc = java.nio.file.Paths.get(
+              if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+            ).resolve(name.toLowerCase(java.util.Locale.ROOT))
+            if (java.nio.file.Files.exists(loc)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+                .reverse.foreach(java.nio.file.Files.delete)
+            }
+            write
+          }
+        ensure(lt)(Tables.lineitem(s, d).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt))
+        ensure(ot)(Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot))
+        // hint("merge"): at fixture scale Catalyst would broadcast the
+        // tiny orders side, which hides exactly the property this key
+        // exists to prove — that the bucketed layout joins AND
+        // aggregates with zero shuffles. At 100 TB neither side is
+        // broadcastable and SMJ is what the planner picks anyway.
+        s.table(ot).hint("merge")
+          .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"), max(col("o_totalprice")).as("price"))
+      }),
+
     // ---------- A: aggregations ----------
     "agg_hash" -> Q(
       ("""SELECT l_returnflag, l_linestatus, count(*) AS n,

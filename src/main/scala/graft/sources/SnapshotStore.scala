@@ -160,9 +160,17 @@ final class SnapshotStore(rootStr: String) {
   /** Read the table as of snapshot `asOf` (inclusive), or latest. Union
     * of committed data dirs — Spark reads them as one multi-path scan,
     * so partition pruning & pushdown apply per file as usual. Zero-row
-    * bucket snapshots (marker-only, no data dir) are skipped. */
+    * bucket snapshots (marker-only, no data dir) are skipped.
+    *
+    * `evolveSchema` = Iceberg-style additive schema evolution: when
+    * later commits added columns, merge footers across snapshots so the
+    * unified schema is served (older rows read the new columns as
+    * null). Opt-in because the footer-merge pass costs O(files) at
+    * read-planning time — a table known to have one schema should not
+    * pay it. */
   def read(spark: SparkSession, schema: Option[StructType] = None,
-           asOf: Option[Long] = None, stage: Option[String] = None): DataFrame = {
+           asOf: Option[Long] = None, stage: Option[String] = None,
+           evolveSchema: Boolean = false): DataFrame = {
     val ms0 = manifests()
     val ms = ms0
       .filter(m => asOf.forall(m.id <= _))
@@ -171,7 +179,8 @@ final class SnapshotStore(rootStr: String) {
     val dirs = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
     require(dirs.nonEmpty,
       s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")
-    val rd = schema.map(spark.read.schema).getOrElse(spark.read)
+    val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
+    val rd = if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
     rd.parquet(dirs: _*)
   }
 

@@ -48,6 +48,12 @@ class PlanPropertiesSpec extends SparkSuite {
     assert(p.contains("salt"), p.take(800))
   }
 
+  test("bucketed join + groupBy on the bucket key run with zero shuffles") {
+    val p = executedPlan("join_bucketed")
+    assert(!p.contains("Exchange"), "bucketed co-located plan must not shuffle:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(600))
+  }
+
   test("canon broadcast is size-gated: known-large canonical maps shuffle-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

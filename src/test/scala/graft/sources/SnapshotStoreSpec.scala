@@ -60,6 +60,21 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(store.commitBuckets(df, "s", "bucket", Seq(0, 1, 2), b => s"s-b$b").isEmpty)
   }
 
+  test("additive schema evolution: later commits add columns, old rows read null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, _) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "s", "m1")
+    store.commit(Seq((2L, "b", 9.5)).toDF("k", "v", "w"), "s", "m2")
+    val evolved = store.read(spark, evolveSchema = true)
+    assert(evolved.columns.toSet == Set("k", "v", "w"))
+    val byK = evolved.collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(byK(1L) && !byK(2L)) // pre-evolution rows serve null for w
+    // time travel still serves the old schema as-of the old snapshot
+    assert(store.read(spark, asOf = Some(1L), evolveSchema = true)
+      .columns.toSet == Set("k", "v"))
+  }
+
   test("crash-resume exactly-once: data without manifest is invisible; resume completes") {
     import spark.implicits._
     val (store, dir) = freshStore()
