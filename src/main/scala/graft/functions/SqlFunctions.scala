@@ -17,5 +17,8 @@ object SqlFunctions {
       "normalize_surface", exprs => NormalizeSurface(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_lsh_bucket", exprs => VecLshBucket(exprs.head,
+        graft.dataprep.Similarity.LshPlanes), "scala_udf")
   }
 }

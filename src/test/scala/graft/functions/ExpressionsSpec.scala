@@ -77,6 +77,63 @@ class AcTrieSpec extends SparkSuite {
   }
 }
 
+class VecLshBucketSpec extends SparkSuite {
+
+  /** Independent recomputation of the documented bucket formula
+    * (quantize to milli-units, two Lehmer rounds mod 2^31-1 for the
+    * weight, exact integer plane dot) — what the DuckDB oracle runs. */
+  private def reference(v: Array[Float], planes: Int): Long = {
+    var bucket = 0L
+    for (p <- 0 until planes) {
+      var s = BigInt(0) // overflow-proof reference arithmetic
+      for (i <- v.indices) {
+        val k = p.toLong * 131 + i + 7
+        val h = ((k * 2654435761L) % 2147483647L * 48271L) % 2147483647L
+        val w = h % 1999L - 999L
+        val xq = math.floor(v(i).toDouble * 1000.0 + 0.5).toLong
+        s += BigInt(xq) * BigInt(w)
+      }
+      if (s >= 0) bucket |= (1L << p)
+    }
+    bucket
+  }
+
+  test("codegen bucket ≡ independent integer reference on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * (1 + i % 5)).toFloat)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), VecLshBucket(col("embedding"), 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == reference(v, 6), s"vec $id")
+    }
+  }
+
+  test("quantization kills float-sum-order sign ambiguity: near-zero components are deterministic") {
+    import spark.implicits._
+    // components that would round-trip differently under float re-summation
+    val v = Array(1e-9f, -1e-9f, 0.0004f, -0.0004f, 0.0006f)
+    val b1 = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(VecLshBucket(col("embedding"), 6)).collect().head.getLong(0)
+    assert(b1 == reference(v, 6)) // quantized: ±0.0004 → 0, 0.0006 → 1 milli-unit
+  }
+
+  test("registered SQL surface: vec_lsh_bucket agrees with the Column API") {
+    import spark.implicits._
+    SqlFunctions.register(spark)
+    Seq((1L, Array(0.5f, -0.25f, 1.5f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("vlb_t")
+    val sql = spark.sql("SELECT vec_lsh_bucket(embedding) AS b FROM vlb_t")
+      .collect().head.getLong(0)
+    val api = Seq((1L, Array(0.5f, -0.25f, 1.5f))).toDF("vec_id", "embedding")
+      .select(VecLshBucket(col("embedding"), graft.dataprep.Similarity.LshPlanes))
+      .collect().head.getLong(0)
+    assert(sql == api)
+  }
+}
+
 class PrAggregatorSpec extends SparkSuite {
   test("single-pass confusion matrix with partial merge") {
     import spark.implicits._
