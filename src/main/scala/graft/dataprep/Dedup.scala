@@ -1,8 +1,10 @@
 package graft.dataprep
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
+
+import graft.functions.{ShingleMinHash, ShingleSet, SimHash60}
 
 /** Corpus deduplication for training-data pipelines, at four fidelities
   * (task brief: exact, MinHash+LSH, SimHash, n-gram Jaccard). All are
@@ -20,10 +22,15 @@ import org.apache.spark.sql.functions._
   * md5 per shingle is also cheaper than the 32 seeded xxhash64 rounds
   * it replaces.
   *
-  * Shingling is rows-based (posexplode + window lead) rather than a
-  * nested higher-order array expression: the nested form re-evaluated
-  * the tokenizer per element access and fell out of codegen — measured
-  * ~40× slower at sf0.1.
+  * Per-document sketches (MinHash signature, SimHash, shingle set) are
+  * ONE-PASS codegen'd expressions (graft.functions.TextSketch*): the
+  * sketch is a pure function of a single document, so computing it as
+  * a projection inside the scan beats the composed form (posexplode →
+  * window lead → 32/60-aggregate groupBy), which paid a doc_id shuffle
+  * + sort + wide hash aggregate per sketch. At the 100 TB design point
+  * the signature pass is exactly one read of the corpus, no shuffle.
+  * The rows-based shingling below is kept for the explode-shaped
+  * operators that genuinely need shingle ROWS.
   */
 object Dedup {
 
@@ -32,25 +39,20 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct 3-token shingles, one row per (doc_id, shingle). Linear:
-    * one generator, one window pass ordered by token position, one
-    * dedup shuffle. */
-  def shingleRows(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .where(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .dropDuplicates("doc_id", "shingle")
-  }
+  /** Shingle ROWS, one per (doc_id, shingle) — the explode shape for
+    * consumers that need to join on individual shingles. Derived from
+    * the one-pass set expression (explode of a projection — a
+    * Generate over the scan, still no shuffle). */
+  def shingleRows(documents: DataFrame): DataFrame =
+    shingleSets(documents)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
-  /** Per-doc shingle sets (for exact Jaccard). */
+  /** Per-doc shingle sets (for exact Jaccard): one-pass expression,
+    * no explode/shuffle. */
   def shingleSets(documents: DataFrame): DataFrame =
-    shingleRows(documents)
-      .groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_shingles"))
+    documents
+      .select(col("doc_id"), ShingleSet(col("text")).as("sh"))
+      .where(col("sh").isNotNull)
 
   /** Exact dedup: content-hash groupBy, keep the min doc_id per group.
     * One map-side-combined hash aggregate over (hash → min,count). */
@@ -64,32 +66,19 @@ object Dedup {
   val Bands = 8
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** Modulus for the Kirsch–Mitzenmacher permutations: the largest
-    * 32-bit prime. h1, h2 < 2^32 and i < NumPerms keep every
-    * intermediate well under 2^63 — no ANSI overflow on either engine. */
-  val PermMod = 4294967291L
-
-  /** Two independent 32-bit base hashes from ONE md5 (hex slices 1-8 and
-    * 9-16), SQL-mirrorable as ('0x' || substring(md5(x), o, 8))::BIGINT. */
-  private def withBaseHashes(shingles: DataFrame): DataFrame =
-    shingles
-      .withColumn("m", md5(col("shingle").cast("binary")))
-      .withColumn("h1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-      .drop("m")
-
-  private def perm(i: Int): Column =
-    (col("h1") + lit(i.toLong) * col("h2")) % lit(PermMod)
+  /** Modulus for the Kirsch–Mitzenmacher permutations (the largest
+    * 32-bit prime) lives in [[graft.functions.TextSketch.PermMod]];
+    * the DuckDB oracles carry the literal. */
 
   /** MinHash signatures: one md5 per distinct shingle, `NumPerms`
-    * integer permutations folded with `min` in one aggregate — the
-    * per-doc state is 32 longs regardless of document size. */
-  def minhashSignature(documents: DataFrame): DataFrame = {
-    val sh = withBaseHashes(shingleRows(documents))
-    val mins = (0 until NumPerms).map(i => min(perm(i)).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"))
-  }
+    * integer permutations folded with `min` — all inside the one-pass
+    * [[graft.functions.ShingleMinHash]] expression, so the per-doc
+    * signature costs zero shuffles (the state is 32 longs in a
+    * register loop, not an aggregation buffer). */
+  def minhashSignature(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), ShingleMinHash(col("text"), NumPerms).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** LSH banding rows: (doc_id, band_idx, band_key). Near-dup docs
     * collide in ≥1 band with high probability; the band join is an
@@ -139,21 +128,13 @@ object Dedup {
 
   /** 60-bit SimHash: per-token md5-derived hash; each bit position
     * accumulates +1/−1 across tokens (with multiplicity); sign vector →
-    * fingerprint. Expressed as 60 conditional sums in ONE hash
-    * aggregate — stays in whole-stage codegen, no UDF. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
-    val assembled = (0 until SimhashBits)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+    * fingerprint. One-pass [[graft.functions.SimHash60]] expression —
+    * the 60 bit counters live in a register loop instead of a 60-column
+    * aggregation buffer behind a doc_id shuffle. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), SimHash60(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: block on 15-bit chunks (two docs within
     * Hamming distance 3 of each other agree on ≥1 of 4 chunks), verify
@@ -194,17 +175,14 @@ object Dedup {
     * boilerplate-leading docs across the hash space; only genuinely
     * similar shingle SETS collide. */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val shr = shingleRows(documents).localCheckpoint(true)
-    val sets = shr.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"))
-      .localCheckpoint(true)
-    val hashed = withBaseHashes(shr)
+    val sets = shingleSets(documents).localCheckpoint(true)
     val nPerms = JaccardBands * JaccardRows
-    val mins = (0 until nPerms).map(i => min(perm(i)).as(s"h$i"))
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = documents
+      .select(col("doc_id"), ShingleMinHash(col("text"), nPerms).as("sig"))
+      .where(col("sig").isNotNull)
     val bandRows = (0 until JaccardBands).map { b =>
       val comps = (b * JaccardRows until (b + 1) * JaccardRows)
-        .map(i => col(s"h$i").cast("string"))
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",", comps: _*).cast("binary")).as("band_key"))
     }
