@@ -21,11 +21,12 @@ import graft.functions.{AcTrie, GazetteerMatchesExpr, NormalizeSurface}
   */
 object Engine {
 
-  /** Mention detection over text spans: one Aho–Corasick automaton pass
-    * per span via the broadcast expression (U1). Returns
-    * (doc_id, span_idx, surface, coarse_type, n_occ); surfaces are
-    * normalized (U2). */
-  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+  /** Raw mention match rows, BEFORE the per-span occurrence count: one
+    * Aho–Corasick automaton pass per span via the broadcast expression
+    * (U1), surfaces normalized (U2). Stateless Column transforms only —
+    * this is the part a streaming source can run in append mode with
+    * no watermark (graft.streaming.StreamOps.streamingMentions). */
+  def mentionRows(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
     val spark = spans.sparkSession
     val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
     spans
@@ -35,9 +36,15 @@ object Engine {
       .select(col("doc_id"), col("span_idx"),
         NormalizeSurface(col("m.surface")).as("surface"),
         col("m.coarse_type").as("coarse_type"))
+  }
+
+  /** Mention detection over text spans: match rows + per-span
+    * occurrence counts. Returns
+    * (doc_id, span_idx, surface, coarse_type, n_occ). */
+  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame =
+    mentionRows(spans, gazetteer)
       .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
       .agg(count(lit(1)).as("n_occ"))
-  }
 
   /** Candidate generation: broadcast join against the anchor dictionary
     * (alias_norm, entity_id, prior). */

@@ -111,6 +111,21 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming mention detection — the KG pipeline's scan stage driven
+    * incrementally (SURVEY §2.9 "incremental linking"; "same code path
+    * as batch"): a readStream over interleaved-corpus documents goes
+    * through the IDENTICAL batch operators — Corpus.explodeSpans and
+    * Engine.mentions (broadcast Aho–Corasick, codegen'd) — because
+    * both are stateless Column transforms. Stateless ⇒ append mode,
+    * no watermark needed; at 10^12 docs this is how a continuously
+    * ingested corpus feeds the same snapshot store the batch DAG
+    * resumes from (compose with `snapshotSink`; the per-span n_occ
+    * aggregation runs batch-side inside foreachBatch, where each doc
+    * is whole). */
+  def streamingMentions(docs: DataFrame, gazetteer: Seq[(String, String)]): DataFrame =
+    graft.kg.Engine.mentionRows(
+      graft.kg.Corpus.explodeSpans(docs), gazetteer)
+
   /** ST6: exactly-once-per-batch snapshot sink; replays of a batchId
     * are no-ops thanks to the store's marker idempotence. */
   def snapshotSink(df: DataFrame, store: SnapshotStore, stage: String): DataStreamWriter[Row] =

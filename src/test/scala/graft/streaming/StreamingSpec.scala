@@ -177,6 +177,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ST-KG: streaming mention detection ≡ batch operators, across micro-batches") {
+    import graft.kg.{Corpus, Engine, Stages}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Corpus.docs(spark, sf).localCheckpoint(true)
+    val gazSeq = Stages.gazetteer(spark, sf)
+      .select(col("surface"), col("coarse_type"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val in = Files.createTempDirectory("stkg-in").toString
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 2 === 0), "1")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 2 === 1), "2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamOps.streamingMentions(stream, gazSeq)
+      .writeStream.outputMode("append").format("memory").queryName("stkg_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def counted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val got = counted(spark.table("stkg_out").collect())
+    val want = counted(
+      Engine.mentionRows(Corpus.explodeSpans(docs), gazSeq).collect())
+    assert(got.nonEmpty && got == want)
+  }
+
   test("ST6: foreachBatch snapshot sink commits exactly once per batch") {
     val in = Files.createTempDirectory("st6-in").toString
     val storeDir = Files.createTempDirectory("st6-store").toString
