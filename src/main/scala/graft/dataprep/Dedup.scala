@@ -123,8 +123,32 @@ object Dedup {
   /** SimHash width: 60 bits = 15 md5 hex chars — the widest slice that
     * stays positive in a signed 64-bit integer on every engine. */
   val SimhashBits = 60
-  val SimhashChunks = 4
-  val ChunkBits: Int = SimhashBits / SimhashChunks
+
+  /** Multi-table blocking geometry (Manku, Jain & Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007): the 60-bit
+    * fingerprint splits into [[SimhashBlocks]] blocks of [[BlockBits]]
+    * bits; one blocking table per [[TableBlocks]]-subset of blocks,
+    * keyed on the concatenation of those blocks. A pair within Hamming
+    * distance `maxHamming` = SimhashBlocks − TableBlocks differs in at
+    * most that many blocks, so ≥ TableBlocks blocks are untouched and
+    * the table keyed on exactly those blocks matches — recall is
+    * complete by pigeonhole, as with single-block chunking, but the
+    * key is TableBlocks·BlockBits = 30 bits wide instead of 15:
+    * expected bucket population falls from n/2^15 to n/2^30, which is
+    * what keeps the within-bucket self-join linear at the 10^12-doc
+    * design point (~10^3 docs/bucket instead of ~3×10^7). The price is
+    * C(6,3) = 20 blocking rows per doc instead of 4 — shuffle volume,
+    * which scales, traded for bucket quadratics, which do not. */
+  val SimhashBlocks = 6
+  val BlockBits: Int = SimhashBits / SimhashBlocks
+  val TableBlocks = 3
+
+  /** The C(SimhashBlocks, TableBlocks) blocking tables: (table_idx,
+    * block indices). Deterministic enumeration order — the DuckDB
+    * oracle carries the same list as literals. */
+  val SimhashTables: Seq[(Int, Seq[Int])] =
+    (0 until SimhashBlocks).combinations(TableBlocks)
+      .toSeq.zipWithIndex.map { case (blocks, i) => (i, blocks) }
 
   /** 60-bit SimHash: per-token md5-derived hash; each bit position
     * accumulates +1/−1 across tokens (with multiplicity); sign vector →
@@ -136,21 +160,51 @@ object Dedup {
       .select(col("doc_id"), SimHash60(col("text")).as("simhash"))
       .where(col("simhash").isNotNull)
 
-  /** SimHash near-dup pairs: block on 15-bit chunks (two docs within
-    * Hamming distance 3 of each other agree on ≥1 of 4 chunks), verify
-    * with `bit_count(xor) <= maxHamming`. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(documents).localCheckpoint(true)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimhashChunks).map(c =>
-        struct(lit(c).as("chunk_idx"),
-          shiftright(col("simhash"), c * ChunkBits)
-            .bitwiseAND(lit((1L << ChunkBits) - 1L)).as("chunk"))): _*)).as("c"))
+  /** The 30-bit multi-table blocking key of `simhash` under blocking
+    * table `blocks`: the chosen 10-bit blocks concatenated MSB-first. */
+  private def tableKey(simhash: Column, blocks: Seq[Int]): Column =
+    blocks.zipWithIndex.map { case (b, pos) =>
+      shiftleft(
+        shiftright(simhash, b * BlockBits)
+          .bitwiseAND(lit((1L << BlockBits) - 1L)),
+        (TableBlocks - 1 - pos) * BlockBits)
+    }.reduce(_.bitwiseOR(_))
+
+  /** SimHash near-dup pairs via Manku-style multi-table blocking
+    * ([[SimhashTables]]): two docs within Hamming distance
+    * `maxHamming` ≤ SimhashBlocks − TableBlocks share all blocks of
+    * ≥1 table; candidates are the per-table bucket collisions
+    * (equi-join on (table_idx, key)), verified exactly with
+    * `bit_count(xor) <= maxHamming`. Blocking is recall-complete for
+    * the default maxHamming = 3, so the result is exactly the
+    * Hamming-≤3 pair set — same rows the old 4×15-bit chunking
+    * produced, minus its n/2^15 bucket-population scale bomb
+    * (VERDICT r2 #2). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSketch(simhash(documents).localCheckpoint(true), maxHamming)
+
+  /** Blocking rows (doc_id, simhash, table_idx, k) for a sketch table
+    * (doc_id, simhash) — one row per [[SimhashTables]] entry. Public so
+    * the skew guard in DataPrepSpec can bound bucket populations. */
+  def simhashBlockingKeys(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
+      explode(array(SimhashTables.map { case (t, blocks) =>
+        struct(lit(t).as("table_idx"),
+          tableKey(col("simhash"), blocks).as("k"))
+      }: _*)).as("tk"))
       .select(col("doc_id"), col("simhash"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
+        col("tk.table_idx").as("table_idx"), col("tk.k").as("k"))
+
+  /** Pair stage over a precomputed sketch table (doc_id, simhash) —
+    * lets tests drive controlled fingerprints through the exact
+    * production blocking + verify path. */
+  def simhashPairsFromSketch(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= SimhashBlocks - TableBlocks,
+      s"blocking geometry guarantees recall only up to Hamming ${SimhashBlocks - TableBlocks}")
+    val keyed = simhashBlockingKeys(sh)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.k") === col("b.k") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))

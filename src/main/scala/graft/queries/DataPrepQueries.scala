@@ -48,6 +48,14 @@ object DataPrepQueries {
       |  FROM shd
       |)""".stripMargin
 
+  /** The Manku multi-table blocking tables as SQL VALUES literals —
+    * generated from [[graft.dataprep.Dedup.SimhashTables]] so the
+    * oracle's blocking geometry cannot drift from the engine's. */
+  private val simhashCombosValues: String =
+    Dedup.SimhashTables.map { case (t, blocks) =>
+      s"($t, ${blocks.mkString(", ")})"
+    }.mkString(",\n  ")
+
   /** Kirsch–Mitzenmacher permutation minima, one row per (doc_id, i):
     * g_i = (h1 + i*h2) mod 4294967291 (mirrors Dedup.perm). */
   private def sigSql(nPerms: Int): String =
@@ -159,16 +167,21 @@ object DataPrepQueries {
         |             ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id
         |),
-        |chunks AS (
-        |  SELECT doc_id, simhash, c,
-        |    (simhash >> CAST(c * ${Dedup.ChunkBits} AS INT))
-        |      & ${(1L << Dedup.ChunkBits) - 1L} AS chunk
-        |  FROM sh CROSS JOIN generate_series(0, ${Dedup.SimhashChunks - 1}) t(c)
+        |combos(t, b0, b1, b2) AS (VALUES
+        |  ${simhashCombosValues}),
+        |keys AS (
+        |  SELECT doc_id, simhash, t,
+        |    (((simhash >> CAST(b0 * ${Dedup.BlockBits} AS INT)) & ${(1L << Dedup.BlockBits) - 1L})
+        |       << ${2 * Dedup.BlockBits}) |
+        |    (((simhash >> CAST(b1 * ${Dedup.BlockBits} AS INT)) & ${(1L << Dedup.BlockBits) - 1L})
+        |       << ${Dedup.BlockBits}) |
+        |    ((simhash >> CAST(b2 * ${Dedup.BlockBits} AS INT)) & ${(1L << Dedup.BlockBits) - 1L}) AS k
+        |  FROM sh CROSS JOIN combos
         |)
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+        |  FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k
         |    AND a.doc_id < b.doc_id)
         |WHERE hamming <= 3""").stripMargin)(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d))),

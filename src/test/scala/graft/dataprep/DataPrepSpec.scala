@@ -32,12 +32,53 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
   }
 
-  test("simhash: exact dup → hamming 0; near dup within small distance") {
+  test("simhash: exact dup → hamming 0; found by the pair stage") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+    val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("simhash multi-table blocking: recall-complete for Hamming ≤ 3") {
+    // Controlled fingerprints: clusters around random 60-bit bases with
+    // 0–5 bit flips. Ground truth = brute-force all-pairs Hamming ≤ 3;
+    // the Manku C(6,3)-table blocking must find EXACTLY that set (no
+    // false negatives from blocking, no false positives past verify).
+    val rnd = new scala.util.Random(11L)
+    val mask = (1L << Dedup.SimhashBits) - 1L
+    val fps = (0 until 40).flatMap { c =>
+      val base = rnd.nextLong() & mask
+      (0 until 5).map { v =>
+        var f = base
+        val flips = rnd.nextInt(6) // 0..5 bit flips off the base
+        (0 until flips).foreach(_ => f ^= 1L << rnd.nextInt(Dedup.SimhashBits))
+        (c * 5L + v, f)
+      }
+    }
+    val truth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairsFromSketch(fps.toDF("doc_id", "simhash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+    assert(truth.nonEmpty) // the fixture actually exercises recall
+  }
+
+  test("simhash blocking keys are 30-bit: unrelated docs never share buckets") {
+    // The r2 scale bomb was bucket population n/2^15 with 15-bit chunk
+    // keys. With 30-bit 3-block keys, 2000 uniform fingerprints expect
+    // ~2000²·20/2^31 ≈ 0.04 colliding pairs — assert max bucket
+    // population stays ~1 (the old chunking put ~122 docs in SOME
+    // 15-bit bucket at this n with p > 0.5).
+    val rnd = new scala.util.Random(7L)
+    val mask = (1L << Dedup.SimhashBits) - 1L
+    val fps = (0L until 2000L).map(i => (i, rnd.nextLong() & mask))
+    val maxBucket = Dedup.simhashBlockingKeys(fps.toDF("doc_id", "simhash"))
+      .groupBy("table_idx", "k").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= 2L, s"max bucket population $maxBucket")
   }
 
   test("ngram jaccard: dup pair scores 1.0, near-dup in (0,1)") {
