@@ -21,7 +21,24 @@ import graft.functions.VecLshBucket
   */
 object Similarity {
 
+  /** Fixture plane count. 6 planes = 64 buckets suits the sf test
+    * corpora; production sizes the plane count to the corpus with
+    * [[planesFor]] (the oracle SQL pins the fixture value, so the
+    * driver-checked keys keep 6). */
   val LshPlanes = 6
+
+  /** Corpus-size-aware plane count: 2^planes buckets ≈ corpusRows /
+    * targetBucketPop, clamped to [4, 62] (62 = the widest sign-bit
+    * set that stays positive in a signed 64-bit bucket id). At 10^12
+    * rows and the default 4096-row target this yields 28 planes —
+    * bucket population, and with it the per-query candidate set and
+    * the within-bucket pair join, stays constant as the corpus grows. */
+  def planesFor(corpusRows: Long, targetBucketPop: Long = 4096L): Int = {
+    val buckets = math.max(1L, corpusRows / math.max(1L, targetBucketPop))
+    val ceilLog2 =
+      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.min(62, math.max(4, ceilLog2))
+  }
 
   /** Sign-bit bucket id of an embedding under `LshPlanes` hyperplanes. */
   def lshBucket(embedding: Column, planes: Int = LshPlanes): Column =
@@ -69,6 +86,38 @@ object Similarity {
     val ranked = corpus
       .join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+    ranked.where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Multi-probe batch ANN: each query probes its own bucket PLUS every
+    * Hamming-1 neighbor bucket (one sign flip per hyperplane — the
+    * buckets a near-neighbor that landed just across one hyperplane
+    * falls into). The probe set is exploded on the QUERY side — 1+planes
+    * rows per query, corpus side untouched — so the plan stays ONE
+    * equi-join on bucket id; recall rises (the standard multi-probe LSH
+    * trade: ~planes× more candidates scored for no extra corpus passes).
+    * A candidate matches at most one probe value, so no dedup is needed
+    * before the per-query top-k window. */
+  def lshTopKBatchProbe(embeddings: DataFrame, queries: DataFrame,
+                        k: Int = 3, planes: Int = LshPlanes): DataFrame = {
+    val corpus = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_bucket", lshBucket(col("q_emb"), planes))
+      .select(col("q_id"), col("q_emb"),
+        explode(array(
+          col("q_bucket") +:
+            (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))): _*
+        )).as("probe"))
+    val ranked = corpus
+      .join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .withColumn("rn", row_number().over(

@@ -1,6 +1,7 @@
 package graft.kg
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,31 +46,75 @@ object ConnectedComponents {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
+    // Contract: null endpoints carry no component information — drop
+    // them HERE so both code paths below see the same edge set (the
+    // distributed min/least path silently skipped nulls while the
+    // local path NPE'd; ADVICE r2).
+    val edges0 = edgesIn.select($"src", $"dst")
+      .where($"src".isNotNull && $"dst".isNotNull)
+
+    val nEdges = edges0.count()
+    if (nEdges <= localThreshold && localOrdering(edges0).isDefined)
+      return localUnionFind(edges0)
     // The alias graph is dictionary-sized relative to the corpus; a
     // driver-looped fixpoint over it must not pay corpus-grade shuffle
     // widths (32+ tasks per tiny stage dominate wall time). Size the
-    // loop's shuffles to the edge count, restore the session conf after.
-    val nEdges = edgesIn.count()
-    if (nEdges <= localThreshold) return localUnionFind(edgesIn)
+    // loop's shuffles to the edge count with EXPLICIT repartitioning at
+    // the loop's pinch points — the session-global shuffle conf is
+    // never touched (a concurrent query on the same session must not
+    // observe a narrowed setting; VERDICT r2 #6).
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt + 1))
-    val savedConf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try alternatingLoop(edgesIn, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", savedConf)
+    alternatingLoop(edges0, maxIter, parts)
+  }
+
+  /** Driver-side ordering matching Spark's: strings compare as UTF-8
+    * bytes unsigned (UTF8String.compareTo — Java String.compareTo
+    * diverges on supplementary characters), integral types compare
+    * numerically. None = type unsupported locally → caller takes the
+    * distributed path, whose least/min handles any orderable type. */
+  private def localOrdering(edges: DataFrame): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val Seq(srcT, dstT) = edges.schema.fields.map(_.dataType).toSeq
+    if (srcT != dstT) return None
+    srcT match {
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0; val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+      case ByteType | ShortType | IntegerType | LongType => Some(
+        Ordering.by[Any, Long] {
+          case v: java.lang.Byte => v.longValue
+          case v: java.lang.Short => v.longValue
+          case v: java.lang.Integer => v.longValue
+          case v: java.lang.Long => v.longValue
+          case v => throw new IllegalStateException(s"unexpected $v")
+        })
+      case _ => None
+    }
   }
 
   /** Driver-local path-compressed union-find for driver-collectable
-    * graphs; canonical_id = lexicographic min of the component (the
-    * same contract as the distributed path). */
+    * graphs; preserves the input id type and orders exactly as the
+    * distributed path does (canonical_id = component min under Spark's
+    * ordering), so the output is independent of which path the edge
+    * count selected (ADVICE r2). */
   private def localUnionFind(edgesIn: DataFrame): DataFrame = {
     val spark = edgesIn.sparkSession
-    import spark.implicits._
-    val edges = edgesIn.select($"src".cast("string"), $"dst".cast("string"))
-      .as[(String, String)].collect()
-    val parent = mutable.HashMap.empty[String, String]
-    def find(x0: String): String = {
+    implicit val ord: Ordering[Any] = localOrdering(edgesIn).get
+    val edges = edgesIn.collect().map(r => (r.get(0), r.get(1)))
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
       var x = x0
       while (parent.getOrElse(x, x) != x) {
         val p = parent(x)
@@ -81,28 +126,39 @@ object ConnectedComponents {
     edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
     // roots chosen as union-by-min above; one more sweep guarantees the
-    // lexicographic component min even across merge orders
+    // component min even across merge orders
     val byRoot = parent.keys.toSeq.groupBy(find)
     val rows = byRoot.iterator.flatMap { case (_, members) =>
       val m = members.min
-      members.iterator.map(n => (n, m))
+      members.iterator.map(n => org.apache.spark.sql.Row(n, m))
     }.toSeq
-    spark.createDataset(rows).toDF("entity_id", "canonical_id")
+    val idT = edgesIn.schema.fields.head.dataType
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("entity_id", idT, nullable = false),
+        org.apache.spark.sql.types.StructField("canonical_id", idT, nullable = false))))
   }
 
-  private def alternatingLoop(edgesIn: DataFrame, maxIter: Int): DataFrame = {
+  private def alternatingLoop(edgesIn: DataFrame, maxIter: Int,
+                              parts: Int): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
-    // Undirected edge set as canonical (hi, lo) pairs, hi > lo; self-loops dropped.
+    // Undirected edge set as canonical (hi, lo) pairs, hi > lo; self-loops
+    // dropped. The explicit repartition pins this round's shuffle width to
+    // the edge-count-derived `parts`; the distinct's aggregate reuses that
+    // partitioning (HashPartitioning(u,v) satisfies its distribution), so
+    // no extra exchange is introduced.
     def canon(df: DataFrame): DataFrame =
       df.select(
           greatest($"src", $"dst").as("u"),
           least($"src", $"dst").as("v"))
         .where($"u" =!= $"v")
+        .repartition(parts, $"u", $"v")
         .distinct()
 
     val nodes = edgesIn.select($"src".as("n"))
@@ -114,9 +170,11 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: for every neighbor pair around u, link strictly-larger
-      // neighbors to m(u) = min(N(u) ∪ {u}).
+      // neighbors to m(u) = min(N(u) ∪ {u}). Repartitioning `und` on the
+      // grouping/join key once serves the groupBy AND both join sides.
       val und = edges.select($"u".as("a"), $"v".as("b"))
         .union(edges.select($"v".as("a"), $"u".as("b")))
+        .repartition(parts, $"a")
       val m = und.groupBy($"a").agg(min($"b").as("mb"))
         .select($"a", least($"a", $"mb").as("m"))
       val large = canon(
@@ -127,6 +185,7 @@ object ConnectedComponents {
       // small-star: link every smaller neighbor v (and u itself) to m(u).
       val und2 = large.select($"u".as("a"), $"v".as("b"))
         .union(large.select($"v".as("a"), $"u".as("b")))
+        .repartition(parts, $"a")
       val m2 = und2.groupBy($"a").agg(min($"b").as("mb"))
         .select($"a", least($"a", $"mb").as("m"))
       val smallNbr = und2.join(m2, "a").where($"b" < $"a")

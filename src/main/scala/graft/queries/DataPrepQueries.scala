@@ -271,6 +271,33 @@ object DataPrepQueries {
         Similarity.lshTopKBatch(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
       }),
 
+    "ann_lsh_probe" -> Q(
+      ("WITH " + lshBucketSql + s""",
+        |qs AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
+        |       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+        |       WHERE e.vec_id % 50 = 0),
+        |probes AS (
+        |  SELECT q.q_id, q.q_emb,
+        |    CASE WHEN p < 0 THEN q.q_bucket
+        |         ELSE xor(q.q_bucket, (1::BIGINT << CAST(p AS INT))) END AS probe
+        |  FROM qs q CROSS JOIN generate_series(-1, ${Similarity.LshPlanes - 1}) tp(p)
+        |),
+        |cand AS (
+        |  SELECT pr.q_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(pr.q_emb AS DOUBLE[])), 4) AS cos_sim
+        |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+        |  JOIN probes pr ON b.bucket = pr.probe AND e.vec_id <> pr.q_id
+        |)
+        |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
+        |WHERE rn <= 3""").stripMargin)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopKBatchProbe(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      }),
+
     // ---------- text analysis ----------
     "text_langid" -> Q(
       ("WITH " + toksSql + """,

@@ -161,6 +161,33 @@ class SimilaritySpec extends SparkSuite {
     }
     rows.foreach { case (q, v, _, _) => assert(q != v) } // self excluded
   }
+
+  test("multi-probe ANN: recall vs brute force ≥ single-bucket recall") {
+    val k = 3
+    val queries = emb.where(col("vec_id") % 40 === 0) // 5 queries
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = queries.collect().map(_.getLong(0)).map { q =>
+      q -> Similarity.bruteForceTopK(emb, q, k).collect().map(_.getLong(0)).toSet
+    }.toMap
+    val plain = topk(Similarity.lshTopKBatch(emb, queries, k))
+    val probe = topk(Similarity.lshTopKBatchProbe(emb, queries, k))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    assert(recall(probe) >= recall(plain),
+      s"probe ${recall(probe)} < plain ${recall(plain)}")
+    assert(recall(probe) > 0.5, s"probe recall ${recall(probe)}") // 7 of 64 buckets probed
+  }
+
+  test("planesFor keeps bucket population constant as the corpus grows") {
+    assert(Similarity.planesFor(1000L) == 4) // clamp floor
+    assert(Similarity.planesFor(1L << 22, targetBucketPop = 4096L) == 10)
+    assert(Similarity.planesFor(1000000000000L) == 28) // 10^12 design point
+    assert(Similarity.planesFor(Long.MaxValue, targetBucketPop = 1L) == 62) // clamp ceiling
+  }
 }
 
 class MultimodalSpec extends SparkSuite {

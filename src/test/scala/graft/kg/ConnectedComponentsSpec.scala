@@ -69,4 +69,31 @@ class ConnectedComponentsSpec extends SparkSuite {
     val flipped = rnd.shuffle(edges.map { case (a, b) => (b, a) })
     assert(run("alt", edges) == run("alt", flipped))
   }
+
+  test("local and distributed paths agree on LONG ids (type + ordering)") {
+    import spark.implicits._
+    // {9, 10} in one component: numeric min = 9, but a string-casting
+    // local path would pick "10" (lexicographic) — ADVICE r2. Also
+    // checks the output schema keeps LongType on both paths.
+    val df = Seq((10L, 9L), (9L, 11L), (3L, 2L)).toDF("src", "dst")
+    val local = ConnectedComponents.alternating(df)
+    val dist = ConnectedComponents.alternating(df, localThreshold = 0L)
+    assert(local.schema("entity_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(dist.schema("entity_id").dataType == org.apache.spark.sql.types.LongType)
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(local) == m(dist))
+    assert(m(local)(10L) == 9L && m(local)(11L) == 9L && m(local)(3L) == 2L)
+  }
+
+  test("null endpoints are dropped identically on both paths") {
+    import spark.implicits._
+    val df = Seq((Some("b"), Some("a")), (None, Some("x")), (Some("y"), None))
+      .toDF("src", "dst")
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(("a", "a"), ("b", "a"))
+    assert(m(ConnectedComponents.alternating(df)) == expected)
+    assert(m(ConnectedComponents.alternating(df, localThreshold = 0L)) == expected)
+  }
 }
