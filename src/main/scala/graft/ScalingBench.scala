@@ -98,7 +98,8 @@ object ScalingBench {
         replicatedDocs(spark, sfDir, cpus, limit = Some(50)))
       val warmLinks = Engine.links(
         Engine.candidates(Engine.mentions(warmSpans, gazSeq), anchor), Stages.scoreBoost)
-      Engine.triples(warmLinks, Engine.canonical(edges), warmSpans).count()
+      Engine.triples(warmLinks, Engine.canonical(edges),
+        Engine.mediaRows(warmSpans)).count()
 
       val docs = replicatedDocs(spark, sfDir, cpus)
       val nDocs = docs.count()
@@ -111,7 +112,8 @@ object ScalingBench {
         Engine.candidates(Engine.mentions(spans, gazSeq), anchor), Stages.scoreBoost)
       // canon is bounded by the alias dictionary (≤3 nodes/surface) —
       // known-small, broadcast-eligible without a count job
-      val triples = Engine.triples(links, Engine.canonical(edges), spans,
+      val triples = Engine.triples(links, Engine.canonical(edges),
+        Engine.mediaRows(spans),
         canonRows = Some(3L * Stages.GazetteerSize))
       val nTriples = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -134,17 +136,35 @@ object ScalingBench {
     def best(c: Int): RunStats = runs.filter(_._1 == c).map(_._2).minBy(_.sec)
     val lo = best(LowCpus)
     val hi = best(HighCpus)
+    // RAW efficiency from the per-level bests — the headline number;
+    // best-of reflects machine capability, alternation stops a noise
+    // burst from biasing one level.
     val eff = (lo.sec / hi.sec) / (HighCpus.toDouble / LowCpus)
-    // per-task CPU inflation of the SAME job when threads share the
-    // socket: >1 means wall-clock efficiency under-reports how the
-    // plan would scale across real (own-bandwidth) executors
-    val inflation = hi.cpuSec / lo.cpuSec
-    // locale-independent formatting (decimal-comma locales break JSON)
+    // CPU-inflation-adjusted efficiency is an UPPER-BOUND MODEL: it
+    // attributes ALL executor-CPU-time inflation at the higher thread
+    // count to socket sharing (bandwidth/LLC), though GC and shuffle
+    // spin-waits also inflate CPU time (ADVICE r2). To keep the model
+    // honest it is (a) computed per ROUND from the SAME alternating
+    // pair the wall ratio uses — never mixing runs taken under
+    // different noise, (b) clamped at 1.0, and (c) reported alongside
+    // every per-round pair so the raw data is inspectable.
+    val roundPairs = runs.toSeq.grouped(2).collect {
+      case Seq((c1, r1), (c2, r2)) if c1 == LowCpus && c2 == HighCpus => (r1, r2)
+    }.toSeq
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val perRound = roundPairs.map { case (l, h) =>
+      val e = (l.sec / h.sec) / (HighCpus.toDouble / LowCpus)
+      val infl = h.cpuSec / l.cpuSec
+      (e, infl, math.min(1.0, e * infl))
+    }
+    val adjBest = if (perRound.isEmpty) eff else perRound.map(_._3).max
+    val roundsJson = perRound.map { case (e, infl, adj) =>
+      s"""{"eff_raw":${Bench.f3(e)},"cpu_inflation":${Bench.f3(infl)},"eff_adjusted":${Bench.f3(adj)}}"""
+    }.mkString("[", ",", "]")
     val allRuns = runs.map { case (c, r) =>
       s"""{"cpus":$c,"sec":${f2(r.sec)},"task_sec":${f2(r.taskSec)},"cpu_sec":${f2(r.cpuSec)}}"""
     }.mkString("[", ",", "]")
     println(
-      s"""{"bench":"scaling","sf":"$sfDir","replication":$Replication,"docs":$nDocs,"triples":$nTriples,"n_low":$LowCpus,"n_high":$HighCpus,"t_low_sec":${f2(lo.sec)},"t_high_sec":${f2(hi.sec)},"efficiency":${Bench.f3(eff)},"cpu_sec_low":${f2(lo.cpuSec)},"cpu_sec_high":${f2(hi.cpuSec)},"cpu_inflation":${Bench.f3(inflation)},"bandwidth_adjusted_efficiency":${Bench.f3(eff * inflation)},"tps_low":${Bench.f1(nTriples / lo.sec)},"tps_high":${Bench.f1(nTriples / hi.sec)},"runs":$allRuns}""")
+      s"""{"bench":"scaling","sf":"$sfDir","replication":$Replication,"docs":$nDocs,"triples":$nTriples,"n_low":$LowCpus,"n_high":$HighCpus,"t_low_sec":${f2(lo.sec)},"t_high_sec":${f2(hi.sec)},"efficiency":${Bench.f3(eff)},"cpu_sec_low":${f2(lo.cpuSec)},"cpu_sec_high":${f2(hi.cpuSec)},"adjusted_efficiency_upper_bound":${Bench.f3(adjBest)},"adjusted_model":"same-round pair, all CPU inflation attributed to socket sharing, clamped at 1.0","round_pairs":$roundsJson,"tps_low":${Bench.f1(nTriples / lo.sec)},"tps_high":${Bench.f1(nTriples / hi.sec)},"runs":$allRuns}""")
   }
 }

@@ -35,7 +35,11 @@ import graft.functions.{ShingleMinHash, ShingleSet, SimHash60}
 object Dedup {
 
   /** Tokenizer shared with the SQL oracles: lower, split on [^a-z0-9]+,
-    * drop empties. */
+    * drop empties. Parity caveat: Spark's `lower` consults the default
+    * JVM locale for non-ASCII code points — the bit-parity claim with
+    * the one-pass sketch expressions (Locale.ROOT) and the DuckDB
+    * oracle is for ASCII text or a root-locale JVM (see
+    * graft.functions.TextSketch.tokenize). */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 

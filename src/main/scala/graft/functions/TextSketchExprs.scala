@@ -40,8 +40,16 @@ object TextSketch {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** ≡ split(lower(text), "[^a-z0-9]+") with empties dropped. Lowercase
-    * via String.toLowerCase(Locale.ROOT) — the same full-string
-    * transformation Spark's `lower` applies before the regex split. */
+    * via String.toLowerCase(Locale.ROOT) — locale-independent by
+    * construction. CAVEAT (ADVICE r2): Spark's `lower` goes through
+    * UTF8String.toLowerCase, which consults the DEFAULT JVM locale for
+    * non-ASCII strings (Turkish 'I' → dotless 'ı'), so the documented
+    * bit-parity between this one-pass path, the Column tokenizer
+    * (graft.dataprep.Dedup.tokens) and the DuckDB oracle holds for
+    * ASCII input — which the [a-z0-9] token alphabet then guarantees
+    * for every token — but the LOWERCASING step itself is only
+    * contract-identical on ASCII text or under a root-locale JVM
+    * (fixtures are ASCII; production should pin -Duser.language). */
   def tokenize(text: UTF8String): Array[String] = {
     val s = text.toString.toLowerCase(Locale.ROOT)
     val out = new ArrayBuffer[String]()

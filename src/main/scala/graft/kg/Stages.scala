@@ -95,6 +95,7 @@ object Stages {
   def triples(spark: SparkSession, dir: String): DataFrame =
     // canon size is bounded by construction: ≤3 entity nodes (E0/E1/E2)
     // per gazetteer surface → broadcast-eligible without a count job
-    Engine.triples(links(spark, dir), canonicalMap(spark, dir), spans(spark, dir),
+    Engine.triples(links(spark, dir), canonicalMap(spark, dir),
+      Engine.mediaRows(spans(spark, dir)),
       canonRows = Some(3L * GazetteerSize))
 }

@@ -195,8 +195,14 @@ object RelationalQueries {
         // The in-memory catalog is per-session: first call in a session
         // writes, later calls reuse (Bench's second pass measures the
         // post-layout cost, which is the steady-state number).
+        // per-dir AND per-process suffix: the warehouse dir outlives the
+        // in-memory catalog, and a concurrent session racing ensure()'s
+        // delete-then-CTAS against the same table name could destroy
+        // the other's data (ADVICE r2) — the pid keeps names disjoint
+        // across processes while staying stable within this session.
         val sfx = java.lang.Long.toHexString(
-          java.util.Objects.hashCode(d).toLong & 0xffffffffL)
+          java.util.Objects.hashCode(d).toLong & 0xffffffffL) +
+          "_p" + ProcessHandle.current().pid()
         val lt = s"lineitem_bkt_$sfx"
         val ot = s"orders_bkt_$sfx"
         // The in-memory catalog forgets tables across sessions but their

@@ -147,12 +147,18 @@ final class SnapshotStore(rootStr: String) {
       .write.mode("overwrite").partitionBy(bucketCol)
       .parquet(dir.toString)
     val counts = obs.get
-    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val jobWallMs = (System.nanoTime() - t0) / 1000000L
+    // one write JOB serves all buckets: each manifest carries its
+    // per-bucket share (so summing wall across bucket manifests ≈ the
+    // job wall, not N× it) plus the shared job wall and bucket count
+    // in metrics for consumers that want the raw figure (ADVICE r2).
     todo.zipWithIndex.map { case (b, i) =>
       val id = baseId + 1 + i
       writeManifest(Manifest(id, dir.resolve(s"$bucketCol=$b").toString,
-        stage, markerFor(b), counts(s"rows_$b").asInstanceOf[Long], wallMs,
-        Map("bucket" -> b.toLong)))
+        stage, markerFor(b), counts(s"rows_$b").asInstanceOf[Long],
+        jobWallMs / todo.size,
+        Map("bucket" -> b.toLong, "job_wall_ms" -> jobWallMs,
+          "job_buckets" -> todo.size.toLong)))
       id
     }
   }

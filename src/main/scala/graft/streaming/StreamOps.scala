@@ -126,6 +126,48 @@ object StreamOps {
     graft.kg.Engine.mentionRows(
       graft.kg.Corpus.explodeSpans(docs), gazetteer)
 
+  /** Incremental linking end-to-end: the FULL KG DAG driven by a
+    * document stream. The corpus-scan stage (unified mention + media
+    * records, graft.kg.Engine.scanRecordRows) is stateless and runs on
+    * the stream itself; everything per-document-bounded — the n_occ
+    * aggregation, candidate join, link argmax, canonical join and
+    * triple emit — runs batch-side inside foreachBatch, where each doc
+    * is whole (one parquet file = one micro-batch; a doc's spans never
+    * split across batches). Each batch commits its triples under a
+    * batchId marker, so replays are exactly-once at the snapshot level
+    * and the result is resumable like the batch pipeline. Triples are
+    * set-semantic: an entity mentioned in docs of different batches
+    * legitimately re-emits e.g. its hasType triple, so consumers (and
+    * the equivalence test) read the accumulated store DISTINCT —
+    * exactly the dedup the batch DAG's final stage performs globally.
+    * `canon` and `anchorDict` are the dictionary-sized static inputs
+    * (alias graphs evolve slower than corpora; re-deriving canon per
+    * batch would be wasted work, re-running the pipeline re-binds it). */
+  def incrementalTriples(docsStream: DataFrame, gazetteer: Seq[(String, String)],
+                         anchorDict: DataFrame,
+                         boost: org.apache.spark.sql.Column,
+                         canon: DataFrame, store: SnapshotStore,
+                         canonRows: Option[Long] = None): DataStreamWriter[Row] = {
+    import graft.kg.{Corpus, Engine}
+    val records = Engine.scanRecordRows(Corpus.explodeSpans(docsStream), gazetteer)
+    records.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist() // two branches (mentions, media) over one small batch
+        try {
+          val mentions = b.where(col("rec") === "mention")
+            .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
+            .agg(count(lit(1)).as("n_occ"))
+          val media = b.where(col("rec") === "media")
+            .select(col("doc_id"), col("span_idx"), col("media_ref"))
+          val links = Engine.links(Engine.candidates(mentions, anchorDict), boost)
+          val triples = Engine.triples(links, canon, media, canonRows)
+          store.commit(triples, stage = "triples",
+            marker = s"triples-batch-$batchId"): Unit
+        } finally b.unpersist(): Unit
+      }
+  }
+
   /** ST6: exactly-once-per-batch snapshot sink; replays of a batchId
     * are no-ops thanks to the store's marker idempotence. */
   def snapshotSink(df: DataFrame, store: SnapshotStore, stage: String): DataStreamWriter[Row] =

@@ -50,7 +50,7 @@ class PipelineSpec extends SparkSuite {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(Pipeline.NumBuckets)).cast("int")
     val docs = Corpus.docs(spark, sf).where(bucketOf(col("doc_id")).isin(0 to 3: _*))
-    val m = Engine.mentions(Corpus.explodeSpans(docs), gazSeq)
+    val m = Engine.scanRecords(Corpus.explodeSpans(docs), gazSeq)
       .withColumn("bucket", bucketOf(col("doc_id")))
     store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
       buckets = 0 to 3, markerFor = b => s"mentions-bucket-$b")
@@ -65,6 +65,45 @@ class PipelineSpec extends SparkSuite {
     val got = tripleSet(resumed.read(spark, stage = Some("triples")))
     val want = tripleSet(Stages.triples(spark, sf))
     assert(got == want)
+  }
+
+  test("the whole DAG scans the corpus parquet exactly once") {
+    // The corpus as its own nested parquet table (production shape);
+    // count FileSourceScan executions over it across EVERY job the
+    // pipeline runs — mention detection is the only permitted reader
+    // (the triple stage's media rows come from the stage-1 snapshot;
+    // VERDICT r2 #3).
+    val corpusDir = Files.createTempDirectory("corpus").resolve("corpus.parquet").toString
+    Corpus.docs(spark, sf).write.parquet(corpusDir)
+    val nScans = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // typed traversal: AQE wraps the final plan in leaf nodes whose
+      // STRING form also repeats the initial plan — count scan NODES,
+      // descending through AdaptiveSparkPlanExec/QueryStageExec leaves
+      private def count(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: QueryStageExec => count(q.plan)
+        case f: FileSourceScanExec =>
+          if (f.relation.location.rootPaths.exists(_.toString.contains(corpusDir))) 1 else 0
+        case other => other.children.map(count).sum
+      }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        nScans.addAndGet(count(qe.executedPlan)): Unit
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Files.createTempDirectory("pipe-onescan").toString
+      val store = Pipeline.run(spark, sf, out, corpusPath = Some(corpusDir))
+      org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
+      assert(nScans.get == 1, s"corpus scanned ${nScans.get} times, want 1")
+      val got = tripleSet(store.read(spark, stage = Some("triples")))
+      assert(got == tripleSet(Stages.triples(spark, sf)) && got.nonEmpty)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("bucketsPerScan retry-unit knob: grouped scans produce identical output") {

@@ -59,14 +59,14 @@ class PlanPropertiesSpec extends SparkSuite {
     import spark.implicits._
     val links = Seq(("d1", 0, "PER", "E1_x", 1.4))
       .toDF("doc_id", "span_idx", "coarse_type", "entity_id", "score")
-    val spans = Seq(("d1", 0, "text", "x", "", 0), ("d1", 1, "image", "fig", "media://m", 1))
-      .toDF("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    val media = Seq(("d1", 1, "media://m"))
+      .toDF("doc_id", "span_idx", "media_ref")
     val canon = spark.range(2000000).select(
       concat(lit("E"), col("id")).as("entity_id"),
       concat(lit("E"), pmod(col("id"), lit(100))).as("canonical_id"))
 
     def canonJoin(rows: Option[Long]): String =
-      graft.kg.Engine.triples(links, canon, spans, rows)
+      graft.kg.Engine.triples(links, canon, media, rows)
         .queryExecution.sparkPlan.toString
 
     // known-small → broadcast hint honored

@@ -201,6 +201,38 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("ST-KG2: incremental linking end-to-end ≡ batch triples (accumulated, distinct)") {
+    import graft.kg.{Corpus, Stages}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Corpus.docs(spark, sf).localCheckpoint(true)
+    val gazSeq = Stages.gazetteer(spark, sf)
+      .select(col("surface"), col("coarse_type"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val anchor = Stages.anchorDict(spark, sf).localCheckpoint(true)
+    val canon = Stages.canonicalMap(spark, sf).localCheckpoint(true)
+    val in = Files.createTempDirectory("stkg2-in").toString
+    val storeDir = Files.createTempDirectory("stkg2-store").toString
+    val store = new SnapshotStore(storeDir)
+    // three micro-batches, docs whole within each
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 0), "1")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 1), "2")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 2), "3")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamOps.incrementalTriples(stream, gazSeq, anchor,
+      Stages.scoreBoost, canon, store,
+      canonRows = Some(3L * Stages.GazetteerSize)).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(store.manifests().count(_.stage == "triples") == 3) // one commit per batch
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val got = tset(store.read(spark, stage = Some("triples")))
+    val want = tset(Stages.triples(spark, sf))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("ST6: foreachBatch snapshot sink commits exactly once per batch") {
     val in = Files.createTempDirectory("st6-in").toString
     val storeDir = Files.createTempDirectory("st6-store").toString
