@@ -20,6 +20,8 @@ object PlanAudit {
     "ann_bruteforce",  // expect broadcast of the 1-row query side
     "ann_lsh_batch",   // expect ONE equi-join on bucket + window rank
     "dedup_minhash_pairs", // expect band equi-join, no cartesian
+    "dedup_simhash_pairs", // expect multi-table key equi-join, no cartesian
+    "ann_lsh_probe",   // expect probe-side explode, still ONE equi-join
     "kg_triples",      // expect broadcast canon join + single wide dedup
     "topk")            // expect TakeOrderedAndProject, not global sort
 

@@ -65,7 +65,8 @@ object Pipeline {
       val m = Engine.scanRecords(Corpus.explodeSpans(docs), gazSeq)
         .withColumn("bucket", bucketOf(col("doc_id")))
       store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
-        buckets = group, markerFor = b => s"mentions-bucket-$b")
+        buckets = group, markerFor = b => s"mentions-bucket-$b",
+        statsCol = Some("doc_id")) // per-bucket source doc_id ranges in lineage
     }
 
     // Mention rows: rec filter is a pushed parquet predicate (row-group

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
 import org.apache.spark.sql.types.StructType
 
 /** Thin snapshot/lineage store emulating the Iceberg table semantics the
@@ -106,18 +106,33 @@ final class SnapshotStore(rootStr: String) {
     * point. */
   def commit(df: DataFrame, stage: String, marker: String,
              partitionBy: Seq[String] = Nil,
-             metrics: Map[String, Long] = Map.empty): Option[Long] = synchronized {
+             metrics: Map[String, Long] = Map.empty,
+             statsCols: Seq[String] = Nil): Option[Long] = synchronized {
     if (markers().contains(marker)) return None
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
     val dir = dataDir.resolve(s"snap-$id")
     val obs = Observation(s"snap-$id-rows")
-    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
+    // Manifest-level column stats (Iceberg manifests carry per-file
+    // min/max; here per-snapshot): observed DURING the write job like
+    // the row count — zero extra passes. `readPruned` uses them to
+    // skip whole snapshots at read-planning time, before any file
+    // listing or footer I/O.
+    val statAggs = statsCols.flatMap { c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")) }
+    val w = df.observe(obs, count(lit(1)).as("rows"), statAggs: _*)
+      .write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
+    val statMetrics = statsCols.flatMap { c =>
+      Seq(s"min_$c", s"max_$c").flatMap { k =>
+        Option(obs.get(k)).collect { case v: Long => k -> v } // null on empty input
+      }
+    }.toMap
     writeManifest(Manifest(id, dir.toString, stage, marker, rows,
-      (System.nanoTime() - t0) / 1000000L, metrics))
+      (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics))
     Some(id)
   }
 
@@ -132,7 +147,8 @@ final class SnapshotStore(rootStr: String) {
     * manifest (marker recorded, rows=0) but no data dir — `read`
     * skips them. Returns the newly committed snapshot ids. */
   def commitBuckets(df: DataFrame, stage: String, bucketCol: String,
-                    buckets: Seq[Int], markerFor: Int => String): Seq[Long] = synchronized {
+                    buckets: Seq[Int], markerFor: Int => String,
+                    statsCol: Option[String] = None): Seq[Long] = synchronized {
     val done = markers()
     val todo = buckets.filterNot(b => done.contains(markerFor(b)))
     if (todo.isEmpty) return Nil
@@ -140,8 +156,17 @@ final class SnapshotStore(rootStr: String) {
     val baseId = latestId.getOrElse(0L)
     val dir = dataDir.resolve(s"snap-${baseId + 1}")
     val obs = Observation(s"snap-${baseId + 1}-rows")
-    val perBucket = todo.map(b =>
-      count(when(col(bucketCol) === b, 1)).as(s"rows_$b"))
+    // Per-bucket lineage from ONE observe on the write job: row count,
+    // plus (when `statsCol` is given) the bucket's [min, max] source
+    // range — the north-star manifest contract "source doc_id ranges,
+    // stage, metrics". Non-numeric values observe as null and the
+    // stats are simply omitted (conservative).
+    val perBucket = todo.flatMap { b =>
+      count(when(col(bucketCol) === b, 1)).as(s"rows_$b") +:
+        statsCol.toSeq.flatMap { c => Seq(
+          min(when(col(bucketCol) === b, col(c).cast("long"))).as(s"min_${c}_$b"),
+          max(when(col(bucketCol) === b, col(c).cast("long"))).as(s"max_${c}_$b")) }
+    }
     df.where(col(bucketCol).isin(todo: _*))
       .observe(obs, perBucket.head, perBucket.tail: _*)
       .write.mode("overwrite").partitionBy(bucketCol)
@@ -154,11 +179,17 @@ final class SnapshotStore(rootStr: String) {
     // in metrics for consumers that want the raw figure (ADVICE r2).
     todo.zipWithIndex.map { case (b, i) =>
       val id = baseId + 1 + i
+      val stats = statsCol.toSeq.flatMap { c =>
+        Seq(s"min_${c}_$b" -> s"min_$c", s"max_${c}_$b" -> s"max_$c").flatMap {
+          case (obsKey, key) =>
+            Option(counts(obsKey)).collect { case v: Long => key -> v }
+        }
+      }.toMap
       writeManifest(Manifest(id, dir.resolve(s"$bucketCol=$b").toString,
         stage, markerFor(b), counts(s"rows_$b").asInstanceOf[Long],
         jobWallMs / todo.size,
         Map("bucket" -> b.toLong, "job_wall_ms" -> jobWallMs,
-          "job_buckets" -> todo.size.toLong)))
+          "job_buckets" -> todo.size.toLong) ++ stats))
       id
     }
   }
@@ -188,6 +219,40 @@ final class SnapshotStore(rootStr: String) {
     val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
     val rd = if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
     rd.parquet(dirs: _*)
+  }
+
+  /** Stats-pruned read: like [[read]], but snapshots whose
+    * manifest-level [min_col, max_col] range (recorded by
+    * `commit(statsCols = ...)`) cannot intersect [lo, hi] are skipped
+    * at PLANNING time — no file listing, no footer I/O, no tasks for
+    * pruned snapshots, the same planning-time skip an Iceberg manifest
+    * scan performs. Snapshots without stats for `column` are kept
+    * (conservative: pruning must never change results); the returned
+    * frame still carries the row-level predicate so surviving files
+    * filter as usual. */
+  def readPruned(spark: SparkSession, column: String, lo: Long, hi: Long,
+                 stage: Option[String] = None,
+                 asOf: Option[Long] = None): DataFrame = {
+    val ms = manifests()
+      .filter(m => asOf.forall(m.id <= _))
+      .filter(m => stage.forall(m.stage == _))
+    require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
+    val kept = ms.filter { m =>
+      (m.metrics.get(s"min_$column"), m.metrics.get(s"max_$column")) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    val dirs = kept.map(_.dir).filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) {
+      // all snapshots pruned (or empty): an empty frame with the
+      // table's schema, read from ANY committed dir's footer
+      val any = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
+      require(any.nonEmpty, s"all selected snapshots in $root are empty")
+      return spark.read.parquet(any.head).where(lit(false))
+    }
+    spark.read.parquet(dirs: _*)
+      .where(col(column).cast("long").between(lo, hi))
   }
 
   /** Lineage table: one row per snapshot (SURVEY.md §1.3). */

@@ -29,9 +29,14 @@ class PipelineSpec extends SparkSuite {
     assert(mentionDirs.size == Pipeline.NumBuckets)
     assert(mentionDirs.map(d => java.nio.file.Paths.get(d).getParent).toSet.size == 1)
     // per-partition lineage: every bucket manifest carries its bucket id
-    val buckets = store.manifests().filter(_.stage == "mentions")
-      .flatMap(_.metrics.get("bucket")).toSet
-    assert(buckets == (0 until Pipeline.NumBuckets).map(_.toLong).toSet)
+    // and its source doc_id range (north-star manifest contract)
+    val mms = store.manifests().filter(_.stage == "mentions")
+    assert(mms.flatMap(_.metrics.get("bucket")).toSet ==
+      (0 until Pipeline.NumBuckets).map(_.toLong).toSet)
+    mms.filter(_.rows > 0).foreach { m =>
+      assert(m.metrics.contains("min_doc_id") && m.metrics.contains("max_doc_id")
+        && m.metrics("min_doc_id") <= m.metrics("max_doc_id"), m)
+    }
 
     val nSnaps = store.manifests().size
     val store2 = Pipeline.run(spark, sf, out) // resume on a complete run

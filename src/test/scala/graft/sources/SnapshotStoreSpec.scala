@@ -44,13 +44,20 @@ class SnapshotStoreSpec extends SparkSuite {
     import spark.implicits._
     val (store, _) = freshStore()
     val df = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)).toDF("k", "v", "bucket")
-    val ids = store.commitBuckets(df, "s", "bucket", Seq(0, 1, 2), b => s"s-b$b")
+    val ids = store.commitBuckets(df, "s", "bucket", Seq(0, 1, 2), b => s"s-b$b",
+      statsCol = Some("k"))
     assert(ids.size == 3)
     assert(store.markers() == Set("s-b0", "s-b1", "s-b2"))
     val ms = store.manifests()
     // observe-counted per-bucket rows; bucket 2 has no data at all
     assert(ms.map(m => m.metrics("bucket") -> m.rows).toMap ==
       Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
+    // per-bucket source ranges from the same observe; empty bucket → none
+    val ranges = ms.map(m => m.metrics("bucket") ->
+      (m.metrics.get("min_k"), m.metrics.get("max_k"))).toMap
+    assert(ranges(0L) == (Some(1L), Some(2L)))
+    assert(ranges(1L) == (Some(3L), Some(3L)))
+    assert(ranges(2L) == (None, None))
     // one write job → all manifests share one snap-N parent dir
     assert(ms.map(m => java.nio.file.Paths.get(m.dir).getParent).toSet.size == 1)
     // read skips the empty bucket; bucket is a path, not a data column
@@ -73,6 +80,39 @@ class SnapshotStoreSpec extends SparkSuite {
     // time travel still serves the old schema as-of the old snapshot
     assert(store.read(spark, asOf = Some(1L), evolveSchema = true)
       .columns.toSet == Set("k", "v"))
+  }
+
+  test("manifest column stats prune whole snapshots at planning time") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    // three time-ranged commits, like daily ingests
+    store.commit(Seq((10L, "a"), (19L, "b")).toDF("ts", "v"), "s", "d1",
+      statsCols = Seq("ts"))
+    store.commit(Seq((20L, "c"), (29L, "d")).toDF("ts", "v"), "s", "d2",
+      statsCols = Seq("ts"))
+    store.commit(Seq((30L, "e")).toDF("ts", "v"), "s", "d3",
+      statsCols = Seq("ts"))
+    // stats recorded in the manifests (observed during the write job)
+    val m1 = store.manifests().head
+    assert(m1.metrics("min_ts") == 10L && m1.metrics("max_ts") == 19L)
+
+    // planning-time pruning: only the overlapping snapshot's dir is read
+    val pruned = store.readPruned(spark, "ts", 20L, 25L, stage = Some("s"))
+    val scannedDirs = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scannedDirs.size == 1 && scannedDirs.head.contains("snap-2"))
+    assert(pruned.collect().map(_.getString(1)).toSet == Set("c"))
+
+    // conservative: a snapshot without stats is never pruned away
+    store.commit(Seq((21L, "x")).toDF("ts", "v"), "s", "d4") // no statsCols
+    assert(store.readPruned(spark, "ts", 20L, 25L, stage = Some("s"))
+      .collect().map(_.getString(1)).toSet == Set("c", "x"))
+
+    // fully disjoint range → empty result, correct schema, zero data dirs
+    val none = store.readPruned(spark, "ts", 100L, 200L, stage = Some("s"))
+    assert(none.columns.toSet == Set("ts", "v") && none.count() == 0)
   }
 
   test("crash-resume exactly-once: data without manifest is invisible; resume completes") {
