@@ -36,7 +36,8 @@ final class SnapshotStore(rootStr: String) {
 
   final case class Manifest(id: Long, dir: String, stage: String, marker: String,
                             rows: Long, wallMs: Long,
-                            metrics: Map[String, Long] = Map.empty)
+                            metrics: Map[String, Long] = Map.empty,
+                            hidden: Seq[String] = Nil)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -47,8 +48,16 @@ final class SnapshotStore(rootStr: String) {
   private def render(m: Manifest): String = {
     val met = m.metrics.toSeq.sorted
       .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"metrics":$met}"""
+    val hid = m.hidden.map(q).mkString("[", ",", "]")
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"metrics":$met}"""
   }
+
+  private val hiddenRe = """"hidden":\[([^\]]*)\]""".r
+  private val strRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def parseHidden(js: String): Seq[String] =
+    hiddenRe.findFirstMatchIn(js).toSeq.flatMap(m =>
+      strRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
 
   private val metricsRe = """"metrics":\{([^}]*)\}""".r
   private val kvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
@@ -78,7 +87,7 @@ final class SnapshotStore(rootStr: String) {
   private def parse(js: String): Manifest = Manifest(
     field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
     field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
-    parseMetrics(js))
+    parseMetrics(js), parseHidden(js))
 
   def manifests(): Seq[Manifest] =
     Files.list(snapsDir).iterator().asScala
@@ -104,10 +113,20 @@ final class SnapshotStore(rootStr: String) {
     * the write job (`df.observe`), not by re-reading the output — a
     * read-back count would double write-path I/O at the 100 TB design
     * point. */
+  /** `hiddenPartitions`: Iceberg-style hidden partitioning — each
+    * (name, transform) pair is computed at WRITE time (e.g.
+    * `"day" -> col("ts").cast("long") / 86400`), laid out as a hive
+    * partition dir, and recorded in the manifest so [[read]] serves
+    * the ORIGINAL schema back (the transform column never reaches the
+    * reader unless it opts in with keepHidden — readers can't come to
+    * depend on the layout, which is what lets the layout evolve).
+    * Commits of one stage should share a partition spec (Spark's
+    * multi-root partition discovery requires consistent layouts). */
   def commit(df: DataFrame, stage: String, marker: String,
              partitionBy: Seq[String] = Nil,
              metrics: Map[String, Long] = Map.empty,
-             statsCols: Seq[String] = Nil): Option[Long] = synchronized {
+             statsCols: Seq[String] = Nil,
+             hiddenPartitions: Seq[(String, org.apache.spark.sql.Column)] = Nil): Option[Long] = synchronized {
     if (markers().contains(marker)) return None
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
@@ -121,9 +140,13 @@ final class SnapshotStore(rootStr: String) {
     val statAggs = statsCols.flatMap { c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
       max(col(c).cast("long")).as(s"max_$c")) }
-    val w = df.observe(obs, count(lit(1)).as("rows"), statAggs: _*)
+    val withHidden = hiddenPartitions.foldLeft(df) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    }
+    val partCols = partitionBy ++ hiddenPartitions.map(_._1)
+    val w = withHidden.observe(obs, count(lit(1)).as("rows"), statAggs: _*)
       .write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(dir.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
     val statMetrics = statsCols.flatMap { c =>
@@ -132,7 +155,8 @@ final class SnapshotStore(rootStr: String) {
       }
     }.toMap
     writeManifest(Manifest(id, dir.toString, stage, marker, rows,
-      (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics))
+      (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics,
+      hidden = hiddenPartitions.map(_._1)))
     Some(id)
   }
 
@@ -207,7 +231,8 @@ final class SnapshotStore(rootStr: String) {
     * pay it. */
   def read(spark: SparkSession, schema: Option[StructType] = None,
            asOf: Option[Long] = None, stage: Option[String] = None,
-           evolveSchema: Boolean = false): DataFrame = {
+           evolveSchema: Boolean = false,
+           keepHidden: Boolean = false): DataFrame = {
     val ms0 = manifests()
     val ms = ms0
       .filter(m => asOf.forall(m.id <= _))
@@ -218,7 +243,13 @@ final class SnapshotStore(rootStr: String) {
       s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")
     val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
     val rd = if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
-    rd.parquet(dirs: _*)
+    val df = rd.parquet(dirs: _*)
+    // hidden partition transforms are a LAYOUT property, not data —
+    // serve the original schema unless the caller opts in (e.g. to
+    // partition-filter before the scan; the filter then prunes hive
+    // dirs exactly as a visible partition column would)
+    val hiddenCols = ms.flatMap(_.hidden).distinct
+    if (keepHidden || hiddenCols.isEmpty) df else df.drop(hiddenCols: _*)
   }
 
   /** Stats-pruned read: like [[read]], but snapshots whose

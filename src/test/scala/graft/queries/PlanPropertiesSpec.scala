@@ -54,6 +54,36 @@ class PlanPropertiesSpec extends SparkSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(600))
   }
 
+  test("AQE splits a skewed join partition (contract: 'AQE skew-join splitting')") {
+    // An isolated session (own conf, shared context) with skew-join
+    // thresholds scaled to fixture bytes: one hot key holds ~90% of
+    // the fact side, the dim side is non-broadcastable by conf, and
+    // the runtime must re-plan the SMJ with skew splitting — the
+    // head-entity regime the north-star names (country/person pages).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceApply", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = s.range(200000).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val dim = s.range(200000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val joined = fact.join(dim, "k")
+    // collect() drives THIS frame's QueryExecution, so the adaptive
+    // plan below is the final (post-re-optimization) one
+    assert(joined.collect().length == 200000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true") || finalPlan.contains("isSkewJoin=true"),
+      finalPlan.take(1500))
+  }
+
   test("canon broadcast is size-gated: known-large canonical maps shuffle-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

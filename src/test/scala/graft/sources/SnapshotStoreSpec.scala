@@ -115,6 +115,60 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(none.columns.toSet == Set("ts", "v") && none.count() == 0)
   }
 
+  test("hidden partitioning: transform laid out + pruned, never served") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, _) = freshStore()
+    val events = Seq((86400L * 0 + 10, "a"), (86400L * 1 + 20, "b"),
+      (86400L * 2 + 30, "c")).toDF("ts", "v")
+    store.commit(events, "ev", "m1",
+      hiddenPartitions = Seq("day" -> (col("ts").cast("long") / 86400L).cast("long")))
+    // layout: hive dirs per day under the snapshot
+    val m = store.manifests().head
+    assert(m.hidden == Seq("day"))
+    val dayDirs = java.nio.file.Files.list(java.nio.file.Paths.get(m.dir))
+      .iterator()
+    val names = scala.jdk.javaapi.CollectionConverters.asScala(dayDirs)
+      .map(_.getFileName.toString).filter(_.startsWith("day=")).toSet
+    assert(names == Set("day=0", "day=1", "day=2"))
+    // default read serves the ORIGINAL schema (transform invisible)
+    val rd = store.read(spark, stage = Some("ev"))
+    assert(rd.columns.toSet == Set("ts", "v") && rd.count() == 3)
+    // opting in: a filter on the hidden column prunes partition dirs
+    val pruned = store.read(spark, stage = Some("ev"), keepHidden = true)
+      .where(col("day") === 1L)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("day"), scan.metadata)
+    assert(pruned.collect().map(_.getString(1)).toSeq == Seq("b"))
+  }
+
+  test("SQL VERSION AS OF time travel through the V2 catalog") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    store.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "ev", "m1")
+    store.commit(Seq((3L, "c")).toDF("k", "v"), "ev", "m2")
+    store.commit(Seq((9L, "z")).toDF("k", "v"), "other", "m3")
+
+    val cat = s"snap${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+
+    // stage = table; latest read sees both ev commits, none of 'other'
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 3)
+    assert(spark.sql(s"SELECT v FROM $cat.other").collect().map(_.getString(0)).toSeq == Seq("z"))
+    // Spark's native time-travel syntax resolves snapshot ids
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 1").count() == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 2").count() == 3)
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet == Set("ev", "other"))
+    // predicate pushdown survives the catalog: filters reach the scan
+    val plan = spark.sql(s"SELECT * FROM $cat.ev WHERE k = 3").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]"), plan.take(900))
+  }
+
   test("crash-resume exactly-once: data without manifest is invisible; resume completes") {
     import spark.implicits._
     val (store, dir) = freshStore()
