@@ -36,6 +36,29 @@ final class AcTrie private (patterns: Array[String], types: Array[String]) exten
   def patternAt(i: Int): String = patterns(i)
   def typeAt(i: Int): String = types(i)
 
+  /** Mention GROUP per pattern: patterns collapse when they share
+    * (normalized surface, coarse_type) — the grouping the n_occ
+    * aggregate used to perform AFTER a corpus-wide shuffle. Because
+    * AC transitions are exact after lower-casing, the matched text
+    * slice normalizes identically to its pattern, so the normalized
+    * surface is a per-PATTERN constant — precomputed here (with its
+    * UTF8String form cached once per executor, not built per row). */
+  @transient lazy val (groupOf: Array[Int], groupSurface: Array[UTF8String],
+                      groupType: Array[UTF8String]) = {
+    val idx = mutable.LinkedHashMap.empty[(String, String), Int]
+    val of = new Array[Int](patterns.length)
+    var i = 0
+    while (i < patterns.length) {
+      val key = (Normalizer.normalize(UTF8String.fromString(patterns(i))).toString, types(i))
+      of(i) = idx.getOrElseUpdate(key, idx.size)
+      i += 1
+    }
+    // keys is SET-like: mapping it directly would deduplicate equal
+    // type strings and misalign the arrays — materialize order first
+    val ks = idx.keys.toArray
+    (of, ks.map(k => UTF8String.fromString(k._1)), ks.map(k => UTF8String.fromString(k._2)))
+  }
+
   /** All boundary-respecting matches, longest-match non-overlap resolved.
     * Returns (begin, end, patternIdx) triples; `end` is exclusive. */
   def matches(text: String): Array[(Int, Int, Int)] = {
@@ -181,6 +204,11 @@ object AcTrie {
     StructField("end", IntegerType, nullable = false),
     StructField("surface", StringType, nullable = false),
     StructField("coarse_type", StringType, nullable = false)))
+
+  val countStruct: StructType = StructType(Seq(
+    StructField("surface", StringType, nullable = false),
+    StructField("coarse_type", StringType, nullable = false),
+    StructField("n_occ", LongType, nullable = false)))
 }
 
 /** `gazetteer_matches(text)` → array<struct<begin,end,surface,coarse_type>>.
@@ -234,4 +262,65 @@ object GazetteerMatchesExpr {
 
   def apply(c: Column, trie: Broadcast[AcTrie]): Column =
     Bridge.toColumn(GazetteerMatchesExpr(Bridge.toExpression(c), trie))
+}
+
+/** `gazetteer_match_counts(text)` →
+  * array<struct<surface,coarse_type,n_occ>> — the [[GazetteerMatchesExpr]]
+  * occurrence stream ALREADY AGGREGATED per (normalized surface, type)
+  * within the span. The per-span n_occ groupBy used to be the only
+  * corpus-sized shuffle before the mention snapshot write, yet every
+  * group lives entirely inside one exploded span row — so the matcher
+  * counts in-register and the mention stage becomes a pure scan-side
+  * projection: zero shuffles from parquet to snapshot at any corpus
+  * size. Surfaces are emitted pre-normalized (see AcTrie.groupOf);
+  * occurrence order within the span is irrelevant to counts, so the
+  * output is deterministic (group ids are first-match-ordered per
+  * dictionary, then sorted per span).
+  */
+case class GazetteerMatchCountsExpr(child: Expression, trie: Broadcast[AcTrie])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(AcTrie.countStruct, containsNull = false)
+  override def prettyName: String = "gazetteer_match_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    GazetteerMatchCountsExpr.run(v.asInstanceOf[UTF8String], trie.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("gazTrieBc", trie,
+      classOf[Broadcast[AcTrie]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GazetteerMatchCountsExpr.run($c, (graft.functions.AcTrie) $trieRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GazetteerMatchCountsExpr =
+    copy(child = newChild)
+}
+
+object GazetteerMatchCountsExpr {
+  /** Match, map to groups, sort + run-length count — O(m log m) in the
+    * handful of matches per span, no hashing, no per-row map. */
+  def run(text0: UTF8String, t: AcTrie): GenericArrayData = {
+    val ms = t.matches(text0.toString)
+    if (ms.length == 0) return new GenericArrayData(Array.empty[Any])
+    val groups = new Array[Int](ms.length)
+    var i = 0
+    while (i < ms.length) { groups(i) = t.groupOf(ms(i)._3); i += 1 }
+    java.util.Arrays.sort(groups)
+    val rows = mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    i = 1
+    while (i <= groups.length) {
+      if (i == groups.length || groups(i) != groups(start)) {
+        val g = groups(start)
+        rows += InternalRow(t.groupSurface(g), t.groupType(g), (i - start).toLong)
+        start = i
+      }
+      i += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  def apply(c: Column, trie: Broadcast[AcTrie]): Column =
+    Bridge.toColumn(GazetteerMatchCountsExpr(Bridge.toExpression(c), trie))
 }

@@ -3,7 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AcTrie, GazetteerMatchesExpr, NormalizeSurface}
+import graft.functions.{AcTrie, GazetteerMatchCountsExpr, GazetteerMatchesExpr, NormalizeSurface}
 
 /** Fixture-agnostic KG-construction engine: the five-stage DAG over any
   * interleaved-span corpus + dictionaries (BASELINE.json north_star).
@@ -40,11 +40,28 @@ object Engine {
 
   /** Mention detection over text spans: match rows + per-span
     * occurrence counts. Returns
-    * (doc_id, span_idx, surface, coarse_type, n_occ). */
-  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame =
-    mentionRows(spans, gazetteer)
-      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
-      .agg(count(lit(1)).as("n_occ"))
+    * (doc_id, span_idx, surface, coarse_type, n_occ).
+    *
+    * ZERO shuffles (round 3): the per-span n_occ aggregate's groups
+    * each live inside ONE exploded span row, so the Aho–Corasick
+    * expression counts them in-register
+    * ([[graft.functions.GazetteerMatchCountsExpr]], surfaces emitted
+    * pre-normalized) and the former corpus-wide groupBy — the only
+    * exchange between the parquet scan and the mention snapshot —
+    * vanishes. Differentially guarded against the occurrence-stream
+    * formulation in GoldenPipelineSpec. */
+  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+    val spark = spans.sparkSession
+    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
+    spans
+      .where(col("kind") === "text")
+      .select(col("doc_id"), col("span_idx"),
+        explode(GazetteerMatchCountsExpr(col("text"), trie)).as("m"))
+      .select(col("doc_id"), col("span_idx"),
+        col("m.surface").as("surface"),
+        col("m.coarse_type").as("coarse_type"),
+        col("m.n_occ").as("n_occ"))
+  }
 
   /** Media-adjacency rows (doc_id, span_idx, media_ref) — the
     * depictedIn input of [[triples]]. In the materializing pipeline
@@ -55,14 +72,15 @@ object Engine {
     spans.where(col("kind") =!= "text")
       .select(col("doc_id"), col("span_idx"), col("media_ref"))
 
-  /** Pre-aggregation unified scan records: per span, EITHER the
-    * gazetteer match rows (text spans; rec = 'mention') OR one
-    * media-adjacency row (media spans; rec = 'media') — both record
-    * kinds from ONE pass over the corpus, so the materializing
-    * pipeline reads the 100 TB corpus exactly once for the whole DAG
-    * (VERDICT r2 #3; the triple stage previously re-scanned spans for
-    * media refs). Stateless Column transforms only — runs unchanged
-    * on a readStream (see StreamOps). */
+  /** Per-OCCURRENCE unified scan records (one row per match
+    * occurrence, surfaces normalized): per span, EITHER the gazetteer
+    * match rows (text spans; rec = 'mention') OR one media-adjacency
+    * row (media spans; rec = 'media') — both record kinds from ONE
+    * pass over the corpus (VERDICT r2 #3). The pipeline consumes the
+    * counted form [[scanRecords]]; this occurrence stream remains the
+    * streaming-equivalence surface (StreamOps.streamingMentions
+    * differential) and the shape for consumers that weight by
+    * position. Stateless Column transforms only. */
   def scanRecordRows(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
     val spark = spans.sparkSession
     val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
@@ -84,17 +102,35 @@ object Engine {
         col("r.media_ref").as("media_ref"))
   }
 
-  /** [[scanRecordRows]] + the per-span occurrence count: mention rows
-    * carry n_occ exactly as [[mentions]] emits them (rec and media_ref
-    * are constant within a mention group, so the extra grouping keys
-    * change nothing); media rows are unique per span (n_occ = 1). The
-    * one aggregation shuffle here is the same one [[mentions]] already
-    * paid. */
-  def scanRecords(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame =
-    scanRecordRows(spans, gazetteer)
-      .groupBy(col("doc_id"), col("span_idx"), col("rec"),
-        col("surface"), col("coarse_type"), col("media_ref"))
-      .agg(count(lit(1)).as("n_occ"))
+  /** Unified scan records WITH counts — the pipeline's stage-1 frame:
+    * (doc_id, span_idx, rec, surface, coarse_type, media_ref, n_occ).
+    * Mention rows carry in-expression per-span counts exactly as
+    * [[mentions]] emits them; media rows are unique per span
+    * (n_occ = 1). Entirely stateless scan-side projection — no
+    * shuffle at ANY corpus size, and therefore also runnable
+    * directly on a readStream in append mode. */
+  def scanRecords(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+    val spark = spans.sparkSession
+    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
+    val strNull = lit(null).cast("string")
+    spans
+      .select(col("doc_id"), col("span_idx"),
+        explode(
+          when(col("kind") === "text",
+            transform(GazetteerMatchCountsExpr(col("text"), trie), m =>
+              struct(lit("mention").as("rec"),
+                m.getField("surface").as("surface"),
+                m.getField("coarse_type").as("coarse_type"),
+                strNull.as("media_ref"),
+                m.getField("n_occ").as("n_occ"))))
+          .otherwise(array(struct(lit("media").as("rec"),
+            strNull.as("surface"), strNull.as("coarse_type"),
+            col("media_ref").as("media_ref"),
+            lit(1L).as("n_occ"))))).as("r"))
+      .select(col("doc_id"), col("span_idx"), col("r.rec").as("rec"),
+        col("r.surface").as("surface"), col("r.coarse_type").as("coarse_type"),
+        col("r.media_ref").as("media_ref"), col("r.n_occ").as("n_occ"))
+  }
 
   /** Candidate generation: broadcast join against the anchor dictionary
     * (alias_norm, entity_id, prior). */

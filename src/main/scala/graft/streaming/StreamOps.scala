@@ -149,15 +149,18 @@ object StreamOps {
                          canon: DataFrame, store: SnapshotStore,
                          canonRows: Option[Long] = None): DataStreamWriter[Row] = {
     import graft.kg.{Corpus, Engine}
-    val records = Engine.scanRecordRows(Corpus.explodeSpans(docsStream), gazetteer)
+    // scanRecords counts mention occurrences inside the matcher
+    // expression (r3), so the stream stage carries finished per-span
+    // counts — nothing to aggregate batch-side.
+    val records = Engine.scanRecords(Corpus.explodeSpans(docsStream), gazetteer)
     records.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist() // two branches (mentions, media) over one small batch
         try {
           val mentions = b.where(col("rec") === "mention")
-            .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
-            .agg(count(lit(1)).as("n_occ"))
+            .select(col("doc_id"), col("span_idx"), col("surface"),
+              col("coarse_type"), col("n_occ"))
           val media = b.where(col("rec") === "media")
             .select(col("doc_id"), col("span_idx"), col("media_ref"))
           val links = Engine.links(Engine.candidates(mentions, anchorDict), boost)

@@ -112,4 +112,22 @@ class GoldenPipelineSpec extends SparkSuite {
     val want = NaiveOracle.mentions(docs, gazetteer).toSet
     assert(got == want, s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
   }
+
+  test("in-expression mention counts ≡ occurrence-stream groupBy (r3 zero-shuffle path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val docs = corpus(nDocs = 40, seed = 13L)
+    val spans = Corpus.explodeSpans(spark.createDataset(docs).toDF())
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    val counted = m(Engine.mentions(spans, gazetteer))
+    val grouped = m(Engine.mentionRows(spans, gazetteer)
+      .groupBy("doc_id", "span_idx", "surface", "coarse_type")
+      .agg(fcount(flit(1)).as("n_occ")))
+    assert(counted == grouped && counted.nonEmpty)
+    // and the counted plan is shuffle-free: scan → project/generate only
+    val plan = Engine.mentions(spans, gazetteer).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
 }
