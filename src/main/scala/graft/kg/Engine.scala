@@ -72,36 +72,6 @@ object Engine {
     spans.where(col("kind") =!= "text")
       .select(col("doc_id"), col("span_idx"), col("media_ref"))
 
-  /** Per-OCCURRENCE unified scan records (one row per match
-    * occurrence, surfaces normalized): per span, EITHER the gazetteer
-    * match rows (text spans; rec = 'mention') OR one media-adjacency
-    * row (media spans; rec = 'media') — both record kinds from ONE
-    * pass over the corpus (VERDICT r2 #3). The pipeline consumes the
-    * counted form [[scanRecords]]; this occurrence stream remains the
-    * streaming-equivalence surface (StreamOps.streamingMentions
-    * differential) and the shape for consumers that weight by
-    * position. Stateless Column transforms only. */
-  def scanRecordRows(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
-    val spark = spans.sparkSession
-    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
-    val strNull = lit(null).cast("string")
-    spans
-      .select(col("doc_id"), col("span_idx"),
-        explode(
-          when(col("kind") === "text",
-            transform(GazetteerMatchesExpr(col("text"), trie), m =>
-              struct(lit("mention").as("rec"),
-                NormalizeSurface(m.getField("surface")).as("surface"),
-                m.getField("coarse_type").as("coarse_type"),
-                strNull.as("media_ref"))))
-          .otherwise(array(struct(lit("media").as("rec"),
-            strNull.as("surface"), strNull.as("coarse_type"),
-            col("media_ref").as("media_ref"))))).as("r"))
-      .select(col("doc_id"), col("span_idx"), col("r.rec").as("rec"),
-        col("r.surface").as("surface"), col("r.coarse_type").as("coarse_type"),
-        col("r.media_ref").as("media_ref"))
-  }
-
   /** Unified scan records WITH counts — the pipeline's stage-1 frame:
     * (doc_id, span_idx, rec, surface, coarse_type, media_ref, n_occ).
     * Mention rows carry in-expression per-span counts exactly as

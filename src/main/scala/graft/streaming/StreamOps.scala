@@ -128,7 +128,7 @@ object StreamOps {
 
   /** Incremental linking end-to-end: the FULL KG DAG driven by a
     * document stream. The corpus-scan stage (unified mention + media
-    * records, graft.kg.Engine.scanRecordRows) is stateless and runs on
+    * records, graft.kg.Engine.scanRecords) is stateless and runs on
     * the stream itself; everything per-document-bounded — the n_occ
     * aggregation, candidate join, link argmax, canonical join and
     * triple emit — runs batch-side inside foreachBatch, where each doc
