@@ -137,9 +137,12 @@ final class SnapshotStore(rootStr: String) {
     // the row count — zero extra passes. `readPruned` uses them to
     // skip whole snapshots at read-planning time, before any file
     // listing or footer I/O.
+    // try_cast, not cast: under Spark 4's ANSI default a plain cast
+    // THROWS on non-numeric values — stats must degrade to absent,
+    // never fail the write job
     val statAggs = statsCols.flatMap { c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")) }
+      min(col(c).try_cast("long")).as(s"min_$c"),
+      max(col(c).try_cast("long")).as(s"max_$c")) }
     val withHidden = hiddenPartitions.foldLeft(df) {
       case (acc, (n, c)) => acc.withColumn(n, c)
     }
@@ -188,8 +191,8 @@ final class SnapshotStore(rootStr: String) {
     val perBucket = todo.flatMap { b =>
       count(when(col(bucketCol) === b, 1)).as(s"rows_$b") +:
         statsCol.toSeq.flatMap { c => Seq(
-          min(when(col(bucketCol) === b, col(c).cast("long"))).as(s"min_${c}_$b"),
-          max(when(col(bucketCol) === b, col(c).cast("long"))).as(s"max_${c}_$b")) }
+          min(when(col(bucketCol) === b, col(c).try_cast("long"))).as(s"min_${c}_$b"),
+          max(when(col(bucketCol) === b, col(c).try_cast("long"))).as(s"max_${c}_$b")) }
     }
     df.where(col(bucketCol).isin(todo: _*))
       .observe(obs, perBucket.head, perBucket.tail: _*)
@@ -283,7 +286,7 @@ final class SnapshotStore(rootStr: String) {
       return spark.read.parquet(any.head).where(lit(false))
     }
     spark.read.parquet(dirs: _*)
-      .where(col(column).cast("long").between(lo, hi))
+      .where(col(column).try_cast("long").between(lo, hi))
   }
 
   /** Lineage table: one row per snapshot (SURVEY.md §1.3). */

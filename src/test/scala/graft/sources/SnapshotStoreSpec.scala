@@ -113,6 +113,14 @@ class SnapshotStoreSpec extends SparkSuite {
     // fully disjoint range → empty result, correct schema, zero data dirs
     val none = store.readPruned(spark, "ts", 100L, 200L, stage = Some("s"))
     assert(none.columns.toSet == Set("ts", "v") && none.count() == 0)
+
+    // non-numeric stat column: ANSI cast would throw mid-write —
+    // try_cast degrades to absent stats, commit + reads still work
+    store.commit(Seq((40L, "w")).toDF("ts", "v"), "s2", "d5",
+      statsCols = Seq("v"))
+    val m5 = store.manifests().last
+    assert(!m5.metrics.contains("min_v") && !m5.metrics.contains("max_v"))
+    assert(store.readPruned(spark, "v", 0L, 10L, stage = Some("s2")).count() == 0)
   }
 
   test("hidden partitioning: transform laid out + pruned, never served") {
