@@ -75,6 +75,27 @@ class AcTrieSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
     assert(out.toSeq == Seq((4, 7, "Fox", "PER"), (16, 19, "dog", "LOC"), (21, 24, "fox", "PER")))
   }
+
+  test("match counts: patterns sharing (normalized surface, type) merge into one group") {
+    import spark.implicits._
+    // "new-york" and "new york" both normalize to "new york"/LOC →
+    // ONE group whose n_occ sums both patterns' occurrences; "data" is
+    // a distinct group; surfaces come out pre-normalized. This is the
+    // exact contract the removed per-span groupBy enforced.
+    val trie = spark.sparkContext.broadcast(AcTrie(Seq(
+      "new-york" -> "LOC", "new york" -> "LOC", "data" -> "MISC")))
+    val out = Seq("New-York data; new york DATA, new-york")
+      .toDF("t")
+      .select(explode(GazetteerMatchCountsExpr(col("t"), trie)).as("m"))
+      .select("m.surface", "m.coarse_type", "m.n_occ")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("new york", "LOC", 3L), ("data", "MISC", 2L)))
+
+    // empty / no-match spans produce no rows, not empty-array rows
+    val none = Seq("", "nothing here").toDF("t")
+      .select(explode(GazetteerMatchCountsExpr(col("t"), trie)).as("m"))
+    assert(none.count() == 0)
+  }
 }
 
 class VecLshBucketSpec extends SparkSuite {
