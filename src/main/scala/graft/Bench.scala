@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *    so Catalyst cannot column-prune away the measured work;
   *  - a warmup pass absorbs session/codegen/parquet-footer costs so the
   *    per-query numbers reflect steady-state execution;
-  *  - each query runs in TWO full alternating passes and reports the
-  *    per-query BEST — this VM has heavy noisy-neighbor interference
-  *    (identical runs measured 20–142 s in round 1) and first-touch
-  *    JIT/page noise lands on whichever query runs first; best-of-2
-  *    makes the reported number reflect the plan, not the scheduler;
+  *  - each query runs in THREE full alternating passes (override with
+  *    SPARK_GRAFT_BENCH_PASSES) and reports the per-query BEST — this
+  *    VM has heavy noisy-neighbor interference (identical runs
+  *    measured 20–142 s in round 1; whole-pass 3× bursts in round 3)
+  *    and first-touch JIT/page noise lands on whichever query runs
+  *    first; per-query best-of makes the reported number reflect the
+  *    plan, not the scheduler;
   *  - the flagship KG pipeline additionally reports triples/sec (the
   *    contract's headline metric) via a counted full run (best of 2).
   */
@@ -57,9 +59,13 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = timedPass().toMap
-    val pass2 = timedPass().toMap
-    val results = names.map { case (k, _) => k -> math.min(pass1(k), pass2(k)) }
+    // full alternating passes, per-query best-of: round-3 measurements
+    // saw single noise bursts inflate a WHOLE pass 3× (identical code,
+    // 34 s vs 107 s minutes apart) — three passes make it unlikely a
+    // burst covers every sample of a query
+    val passes = (1 to sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+      .map(_ => timedPass().toMap)
+    val results = names.map { case (k, _) => k -> passes.map(_(k)).min }
 
     // headline: KG pipeline throughput (mention-detect → … → triple-emit)
     def pipeOnce(): (Long, Double) = {
