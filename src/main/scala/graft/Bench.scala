@@ -63,8 +63,9 @@ object Bench {
     // saw single noise bursts inflate a WHOLE pass 3× (identical code,
     // 34 s vs 107 s minutes apart) — three passes make it unlikely a
     // burst covers every sample of a query
-    val passes = (1 to sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-      .map(_ => timedPass().toMap)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
+    val passes = (1 to nPasses).map(_ => timedPass().toMap)
     val results = names.map { case (k, _) => k -> passes.map(_(k)).min }
 
     // headline: KG pipeline throughput (mention-detect → … → triple-emit)

@@ -72,49 +72,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Batch ANN (the training-pipeline shape): a query SET joined
-    * against the corpus on bucket id — ONE equi-join however many
-    * queries there are, then per-query top-k via window rank. The
-    * query side is broadcast-hinted (query sets are small relative to
-    * the corpus); at corpus-sized query sets drop the hint and the
-    * same plan shuffles both sides on `bucket`. */
-  def lshTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
-    val corpus = embeddings.withColumn("bucket", lshBucket(col("embedding")))
-    val q = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("q_bucket", lshBucket(col("q_emb")))
-    val ranked = corpus
-      .join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-    ranked.where(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
-  }
-
-  /** Multi-probe batch ANN: each query probes its own bucket PLUS every
-    * Hamming-1 neighbor bucket (one sign flip per hyperplane — the
-    * buckets a near-neighbor that landed just across one hyperplane
-    * falls into). The probe set is exploded on the QUERY side — 1+planes
-    * rows per query, corpus side untouched — so the plan stays ONE
-    * equi-join on bucket id; recall rises (the standard multi-probe LSH
-    * trade: ~planes× more candidates scored for no extra corpus passes).
-    * A candidate matches at most one probe value, so no dedup is needed
-    * before the per-query top-k window. */
-  def lshTopKBatchProbe(embeddings: DataFrame, queries: DataFrame,
-                        k: Int = 3, planes: Int = LshPlanes): DataFrame = {
-    val corpus = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val probes = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("q_bucket", lshBucket(col("q_emb"), planes))
-      .select(col("q_id"), col("q_emb"),
-        explode(array(
-          col("q_bucket") +:
-            (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))): _*
-        )).as("probe"))
+  /** Shared tail of the batch ANN variants: corpus ⋈ probe rows on
+    * bucket id (ONE equi-join, query side broadcast-hinted — at
+    * corpus-sized query sets drop the hint and the same plan shuffles
+    * both sides), exact cosine, per-query top-k via window rank. Kept
+    * in one place so the tie-break/rounding contract the DuckDB
+    * oracles mirror cannot diverge between variants. `probes` columns:
+    * (q_id, q_emb, probe). */
+  private def rankTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val ranked = corpus
       .join(broadcast(probes),
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
@@ -126,4 +91,44 @@ object Similarity {
     ranked.where(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
   }
+
+  /** One count job + [[planesFor]]: the corpus-aware plane count for
+    * callers that don't know their cardinality up front. */
+  def autoPlanes(embeddings: DataFrame, targetBucketPop: Long = 4096L): Int =
+    planesFor(embeddings.count(), targetBucketPop)
+
+  /** Batch ANN (the training-pipeline shape): a query SET joined
+    * against the corpus on bucket id — ONE equi-join however many
+    * queries there are, then per-query top-k via window rank. */
+  def lshTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
+                   planes: Int = LshPlanes): DataFrame =
+    rankTopK(
+      embeddings.withColumn("bucket", lshBucket(col("embedding"), planes)),
+      queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("probe", lshBucket(col("q_emb"), planes)),
+      k)
+
+  /** Multi-probe batch ANN: each query probes its own bucket PLUS every
+    * Hamming-1 neighbor bucket (one sign flip per hyperplane — the
+    * buckets a near-neighbor that landed just across one hyperplane
+    * falls into). The probe set is exploded on the QUERY side — 1+planes
+    * rows per query, corpus side untouched — so the plan stays ONE
+    * equi-join on bucket id; recall rises (the standard multi-probe LSH
+    * trade: ~planes× more candidates scored for no extra corpus passes).
+    * A candidate matches at most one probe value, so no dedup is needed
+    * before the per-query top-k window. */
+  def lshTopKBatchProbe(embeddings: DataFrame, queries: DataFrame,
+                        k: Int = 3, planes: Int = LshPlanes): DataFrame =
+    rankTopK(
+      embeddings.withColumn("bucket", lshBucket(col("embedding"), planes)),
+      queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_bucket", lshBucket(col("q_emb"), planes))
+        .select(col("q_id"), col("q_emb"),
+          explode(array(
+            col("q_bucket") +:
+              (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))): _*
+          )).as("probe")),
+      k)
 }

@@ -84,6 +84,11 @@ object Engine {
     val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
     val strNull = lit(null).cast("string")
     spans
+      // malformed spans (null kind) carry no record: [[mentions]] and
+      // [[mediaRows]] both drop them via their kind predicates, and the
+      // `otherwise` branch below would otherwise misroute them to media
+      // — keep the two DAG forms byte-identical on dirty corpora
+      .where(col("kind").isNotNull)
       .select(col("doc_id"), col("span_idx"),
         explode(
           when(col("kind") === "text",

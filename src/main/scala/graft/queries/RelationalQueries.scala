@@ -207,18 +207,33 @@ object RelationalQueries {
         val ot = s"orders_bkt_$sfx"
         // The in-memory catalog forgets tables across sessions but their
         // warehouse dirs persist — clear a leftover location before
-        // (re)creating, or CTAS fails with locationAlreadyExists.
+        // (re)creating, or CTAS fails with locationAlreadyExists. The
+        // per-pid names mean prior PROCESSES' dirs are never reused:
+        // sweep stale siblings (same table prefix, pid no longer alive)
+        // so repeated bench runs don't accumulate bucketed copies.
+        import scala.jdk.CollectionConverters._
+        def rmTree(p: java.nio.file.Path): Unit =
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
         def ensure(name: String)(write: => Unit): Unit =
           if (!s.catalog.tableExists(name)) {
             val wh = s.conf.get("spark.sql.warehouse.dir")
-            val loc = java.nio.file.Paths.get(
-              if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
-            ).resolve(name.toLowerCase(java.util.Locale.ROOT))
-            if (java.nio.file.Files.exists(loc)) {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-                .reverse.foreach(java.nio.file.Files.delete)
+            val whDir = java.nio.file.Paths.get(
+              if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
+            val lname = name.toLowerCase(java.util.Locale.ROOT)
+            val prefix = lname.substring(0, lname.lastIndexOf("_p") + 2)
+            if (java.nio.file.Files.isDirectory(whDir)) {
+              java.nio.file.Files.list(whDir).iterator().asScala
+                .filter { p =>
+                  val n = p.getFileName.toString
+                  n.startsWith(prefix) && n != lname &&
+                    n.substring(prefix.length).toLongOption.exists(pid =>
+                      !java.nio.file.Files.exists(
+                        java.nio.file.Paths.get(s"/proc/$pid")))
+                }.toSeq.foreach(rmTree)
             }
+            val loc = whDir.resolve(lname)
+            if (java.nio.file.Files.exists(loc)) rmTree(loc)
             write
           }
         ensure(lt)(Tables.lineitem(s, d).write.mode("overwrite")

@@ -31,6 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ours. Writes go through `SnapshotStore.commit` (atomic manifests,
   * markers), so the mutating half of the catalog API stays
   * intentionally unsupported.
+  *
+  * Schema caveat: the SQL surface serves the PHYSICAL table — hive
+  * partition columns, including hidden-partition transforms, appear
+  * (exactly as `SELECT *` on a hive table does). Readers that need
+  * the logical, layout-free schema use `SnapshotStore.read`, which
+  * drops manifest-recorded hidden columns.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -66,9 +72,13 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = tableFor(ident, None)
 
   /** `VERSION AS OF <id>` — the snapshot-id time travel [[SnapshotStore.read]]
-    * exposes programmatically, reached through Spark's own SQL parser. */
+    * exposes programmatically, reached through Spark's own SQL parser.
+    * Versions are numeric snapshot ids; anything else is rejected with
+    * a catalog-level message, not a raw NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableFor(ident, Some(version.toLong))
+    tableFor(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$catName.${ident.name}: VERSION AS OF takes a numeric snapshot id, got '$version'"))))
 
   private def readOnly(op: String): Nothing = throw new UnsupportedOperationException(
     s"$catName is a read surface over SnapshotStore; $op goes through SnapshotStore.commit")

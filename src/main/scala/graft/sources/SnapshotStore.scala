@@ -285,8 +285,11 @@ final class SnapshotStore(rootStr: String) {
       require(any.nonEmpty, s"all selected snapshots in $root are empty")
       return spark.read.parquet(any.head).where(lit(false))
     }
-    spark.read.parquet(dirs: _*)
+    val df = spark.read.parquet(dirs: _*)
       .where(col(column).try_cast("long").between(lo, hi))
+    // same hidden-layout contract as read(): transforms never surface
+    val hiddenCols = kept.flatMap(_.hidden).distinct
+    if (hiddenCols.isEmpty) df else df.drop(hiddenCols: _*)
   }
 
   /** Lineage table: one row per snapshot (SURVEY.md §1.3). */

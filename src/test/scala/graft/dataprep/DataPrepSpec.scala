@@ -188,6 +188,17 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.planesFor(1000000000000L) == 28) // 10^12 design point
     assert(Similarity.planesFor(Long.MaxValue, targetBucketPop = 1L) == 62) // clamp ceiling
   }
+
+  test("autoPlanes wires corpus sizing into the batch ANN path end to end") {
+    val planes = Similarity.autoPlanes(emb, targetBucketPop = 25L) // 200/25 → 8 buckets
+    assert(planes == 4) // clamp floor still binds at fixture size
+    val queries = emb.where(col("vec_id") % 40 === 0)
+    val rows = Similarity.lshTopKBatchProbe(emb, queries, k = 3, planes = planes)
+      .collect()
+    assert(rows.nonEmpty)
+    // wider corpus constant: sanity that a bigger target shrinks planes
+    assert(Similarity.autoPlanes(emb) == 4)
+  }
 }
 
 class MultimodalSpec extends SparkSuite {
