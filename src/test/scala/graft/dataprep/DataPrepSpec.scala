@@ -56,14 +56,18 @@ class DedupSpec extends SparkSuite {
         (c * 5L + v, f)
       }
     }
-    val truth = (for {
-      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
-      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
-    } yield (ia, ib, h)).toSet
-    val got = Dedup.simhashPairsFromSketch(fps.toDF("doc_id", "simhash")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
-    assert(truth.nonEmpty) // the fixture actually exercises recall
+    val sketch = fps.toDF("doc_id", "simhash").localCheckpoint(true)
+    // every radius the C(6,3) geometry guarantees (≤ blocks − tableBlocks)
+    for (maxH <- 0 to (Dedup.SimhashBlocks - Dedup.TableBlocks)) {
+      val truth = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+      val got = Dedup.simhashPairsFromSketch(sketch, maxH).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == truth, s"maxH=$maxH: got ${got.size} pairs, truth ${truth.size}")
+      if (maxH == 3) assert(truth.nonEmpty) // the fixture actually exercises recall
+    }
   }
 
   test("simhash blocking keys are 30-bit: unrelated docs never share buckets") {
