@@ -118,17 +118,31 @@ object Similarity {
     * trade: ~planes× more candidates scored for no extra corpus passes).
     * A candidate matches at most one probe value, so no dedup is needed
     * before the per-query top-k window. */
+  /** `probeRadius`: how many sign bits may be flipped per probe.
+    * 1 → 1+planes probes (the classic multi-probe step); 2 adds the
+    * C(planes,2) two-flip buckets — recall for neighbors straddling
+    * two hyperplanes, still exploded query-side, still one equi-join.
+    * Probe-set size is 1 + planes + C(planes,2); keep radius ≤ 2 (at
+    * 28 production planes that is 407 probes/query — the point where
+    * more planes beats more probes). */
   def lshTopKBatchProbe(embeddings: DataFrame, queries: DataFrame,
-                        k: Int = 3, planes: Int = LshPlanes): DataFrame =
+                        k: Int = 3, planes: Int = LshPlanes,
+                        probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 1 && probeRadius <= 2,
+      s"probeRadius must be 1 or 2, got $probeRadius")
+    val flips: Seq[Long] = Seq(0L) ++
+      (0 until planes).map(p => 1L << p) ++
+      (if (probeRadius >= 2)
+        (0 until planes).combinations(2).map(c => (1L << c(0)) | (1L << c(1))).toSeq
+      else Seq.empty)
     rankTopK(
       embeddings.withColumn("bucket", lshBucket(col("embedding"), planes)),
       queries
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .withColumn("q_bucket", lshBucket(col("q_emb"), planes))
         .select(col("q_id"), col("q_emb"),
-          explode(array(
-            col("q_bucket") +:
-              (0 until planes).map(p => col("q_bucket").bitwiseXOR(lit(1L << p))): _*
-          )).as("probe")),
+          explode(array(flips.map(f =>
+            col("q_bucket").bitwiseXOR(lit(f))): _*)).as("probe")),
       k)
+  }
 }

@@ -184,6 +184,10 @@ class SimilaritySpec extends SparkSuite {
     assert(recall(probe) >= recall(plain),
       s"probe ${recall(probe)} < plain ${recall(plain)}")
     assert(recall(probe) > 0.5, s"probe recall ${recall(probe)}") // 7 of 64 buckets probed
+    // radius-2 probing covers strictly more buckets → recall only rises
+    val probe2 = topk(Similarity.lshTopKBatchProbe(emb, queries, k, probeRadius = 2))
+    assert(recall(probe2) >= recall(probe),
+      s"radius-2 ${recall(probe2)} < radius-1 ${recall(probe)}")
   }
 
   test("planesFor keeps bucket population constant as the corpus grows") {
