@@ -212,9 +212,17 @@ object RelationalQueries {
         // sweep stale siblings (same table prefix, pid no longer alive)
         // so repeated bench runs don't accumulate bucketed copies.
         import scala.jdk.CollectionConverters._
+        // concurrent sweeps may race each other: deleteIfExists +
+        // swallowing NoSuchFileException makes losing the race benign
+        // (ADVICE r3)
         def rmTree(p: java.nio.file.Path): Unit =
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.delete)
+          try java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .reverse.foreach(q =>
+              try java.nio.file.Files.deleteIfExists(q)
+              catch { case _: java.nio.file.NoSuchFileException => ()
+                      case _: java.nio.file.DirectoryNotEmptyException => () })
+          catch { case _: java.nio.file.NoSuchFileException => ()
+                  case _: java.io.UncheckedIOException => () }
         def ensure(name: String)(write: => Unit): Unit =
           if (!s.catalog.tableExists(name)) {
             val wh = s.conf.get("spark.sql.warehouse.dir")
@@ -226,10 +234,14 @@ object RelationalQueries {
               java.nio.file.Files.list(whDir).iterator().asScala
                 .filter { p =>
                   val n = p.getFileName.toString
+                  // ProcessHandle, not /proc/<pid>: the proc path never
+                  // exists on non-Linux hosts or across pid namespaces,
+                  // which would call every sibling dead and reintroduce
+                  // the cross-process delete race (ADVICE r3)
                   n.startsWith(prefix) && n != lname &&
                     n.substring(prefix.length).toLongOption.exists(pid =>
-                      !java.nio.file.Files.exists(
-                        java.nio.file.Paths.get(s"/proc/$pid")))
+                      !ProcessHandle.of(pid)
+                        .map[Boolean](_.isAlive).orElse(false))
                 }.toSeq.foreach(rmTree)
             }
             val loc = whDir.resolve(lname)

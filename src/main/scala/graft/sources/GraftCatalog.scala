@@ -64,9 +64,16 @@ class GraftCatalog extends TableCatalog {
     val dirs = ms.map(_.dir)
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     if (dirs.isEmpty) throw new NoSuchTableException(ident)
+    // mergeSchema: a stage whose later snapshots added columns must
+    // serve the unified schema (matching SnapshotStore.read(
+    // evolveSchema = true)) — without it the catalog serves whichever
+    // schema parquet inference lands on and silently omits
+    // later-added columns (ADVICE r3). Costs a footer-merge pass at
+    // planning time, the price SnapshotStore makes opt-in; the SQL
+    // surface favors correctness over that planning cost.
     ParquetTable(s"$catName.${ident.name}", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), dirs.toList, None,
-      classOf[ParquetFileFormat])
+      new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
+      dirs.toList, None, classOf[ParquetFileFormat])
   }
 
   override def loadTable(ident: Identifier): Table = tableFor(ident, None)

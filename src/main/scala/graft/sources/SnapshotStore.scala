@@ -55,9 +55,30 @@ final class SnapshotStore(rootStr: String) {
   private val hiddenRe = """"hidden":\[([^\]]*)\]""".r
   private val strRe = """"((?:[^"\\]|\\.)*)"""".r
 
+  /** Inverse of [[q]] for the captured group of [[strRe]]/[[kvRe]] —
+    * without it a name containing a quote or backslash reads back
+    * still-escaped and then fails to match the real column (ADVICE
+    * r3). Belt-and-braces: [[commit]] also rejects hidden names
+    * outside a safe identifier alphabet, so escapes never actually
+    * occur in hidden entries. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n'); i += 1
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 5
+          case c => sb.append(c); i += 1
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parseHidden(js: String): Seq[String] =
     hiddenRe.findFirstMatchIn(js).toSeq.flatMap(m =>
-      strRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
 
   private val metricsRe = """"metrics":\{([^}]*)\}""".r
   private val kvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
@@ -65,7 +86,7 @@ final class SnapshotStore(rootStr: String) {
   private def parseMetrics(js: String): Map[String, Long] =
     metricsRe.findFirstMatchIn(js).map { m =>
       kvRe.findAllMatchIn(m.group(1))
-        .map(kv => kv.group(1) -> kv.group(2).toLong).toMap
+        .map(kv => unescape(kv.group(1)) -> kv.group(2).toLong).toMap
     }.getOrElse(Map.empty)
 
   private def field(js: String, name: String): String = {
@@ -127,6 +148,14 @@ final class SnapshotStore(rootStr: String) {
              metrics: Map[String, Long] = Map.empty,
              statsCols: Seq[String] = Nil,
              hiddenPartitions: Seq[(String, org.apache.spark.sql.Column)] = Nil): Option[Long] = synchronized {
+    // hidden names also become hive dir names and manifest JSON — keep
+    // them in a safe identifier alphabet so the dir layout and the
+    // regex-parsed manifest round-trip exactly (ADVICE r3: ']' in a
+    // name would break hiddenRe; escapes would break read()'s drop)
+    hiddenPartitions.map(_._1).foreach { n =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"hidden partition name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
+    }
     if (markers().contains(marker)) return None
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
@@ -280,10 +309,15 @@ final class SnapshotStore(rootStr: String) {
     val dirs = kept.map(_.dir).filter(d => Files.exists(Paths.get(d)))
     if (dirs.isEmpty) {
       // all snapshots pruned (or empty): an empty frame with the
-      // table's schema, read from ANY committed dir's footer
+      // table's schema, read from ANY committed dir's footer — with
+      // the SAME hidden-layout-column drop as the non-empty branch,
+      // so the result schema does not depend on whether pruning
+      // eliminated everything (ADVICE r3)
       val any = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
       require(any.nonEmpty, s"all selected snapshots in $root are empty")
-      return spark.read.parquet(any.head).where(lit(false))
+      val empty = spark.read.parquet(any.head).where(lit(false))
+      val hid = ms.flatMap(_.hidden).distinct
+      return if (hid.isEmpty) empty else empty.drop(hid: _*)
     }
     val df = spark.read.parquet(dirs: _*)
       .where(col(column).try_cast("long").between(lo, hi))
