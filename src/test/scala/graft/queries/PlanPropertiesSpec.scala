@@ -84,6 +84,32 @@ class PlanPropertiesSpec extends SparkSuite {
       finalPlan.take(1500))
   }
 
+  test("batch-ANN probe broadcast is size-gated: known-large query sets shuffle-join") {
+    import org.apache.spark.sql.functions._
+    // 2M-row frames: range stats (16 MB est.) sit above the 10 MB
+    // auto-broadcast threshold, so any BroadcastHashJoin in the plan
+    // can only come from the gate's explicit hint — isolating the
+    // property under test (the self-similarity sweep regime where the
+    // query set IS the corpus; VERDICT r3 weak).
+    // per-row-varying embedding: a constant literal would fold the
+    // bucket to one value and erase the equi-join key entirely
+    val emb = spark.range(2000000).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(0.2f)).as("embedding"))
+    def plan(rows: Option[Long]): String =
+      graft.dataprep.Similarity.lshTopKBatchProbe(emb, emb, k = 3, queryRows = rows)
+        .queryExecution.sparkPlan.toString
+    // known-small → hint honored
+    val small = plan(Some(100L))
+    assert(small.contains("BroadcastHashJoin"), small.take(1200))
+    // known-large (or the multi-probe expansion pushes it over) → no
+    // hint, stats keep it off the broadcast path
+    val large = plan(Some(graft.dataprep.Similarity.BroadcastProbeMaxRows + 1))
+    assert(!large.contains("BroadcastHashJoin"), large.take(1200))
+    // unknown cardinality → no hint either (stats/AQE decide)
+    val unknown = plan(None)
+    assert(!unknown.contains("BroadcastHashJoin"), unknown.take(1200))
+  }
+
   test("canon broadcast is size-gated: known-large canonical maps shuffle-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
