@@ -94,12 +94,13 @@ object ScalingBench {
       // Warmup: identical plan shape on a tiny slice — pre-compiles the
       // whole-stage-codegen units so the timer measures execution, not
       // driver-side Janino compilation.
-      val warmSpans = Corpus.explodeSpans(
+      val carry = Seq(Engine.AdjMedia)
+      val warmSpans = Corpus.explodeSpansAdj(
         replicatedDocs(spark, sfDir, cpus, limit = Some(50)))
       val warmLinks = Engine.links(
-        Engine.candidates(Engine.mentions(warmSpans, gazSeq), anchor), Stages.scoreBoost)
-      Engine.triples(warmLinks, Engine.canonical(edges),
-        Engine.mediaRows(warmSpans)).count()
+        Engine.candidates(Engine.mentions(warmSpans, gazSeq, carry), anchor, carry),
+        Stages.scoreBoost, carry)
+      Engine.triples(warmLinks, Engine.canonical(edges)).count()
 
       val docs = replicatedDocs(spark, sfDir, cpus)
       val nDocs = docs.count()
@@ -107,13 +108,13 @@ object ScalingBench {
       val clock = new TaskClock
       spark.sparkContext.addSparkListener(clock)
       val t0 = System.nanoTime()
-      val spans = Corpus.explodeSpans(docs)
+      val spans = Corpus.explodeSpansAdj(docs)
       val links = Engine.links(
-        Engine.candidates(Engine.mentions(spans, gazSeq), anchor), Stages.scoreBoost)
+        Engine.candidates(Engine.mentions(spans, gazSeq, carry), anchor, carry),
+        Stages.scoreBoost, carry)
       // canon is bounded by the alias dictionary (≤3 nodes/surface) —
       // known-small, broadcast-eligible without a count job
       val triples = Engine.triples(links, Engine.canonical(edges),
-        Engine.mediaRows(spans),
         canonRows = Some(3L * Stages.GazetteerSize))
       val nTriples = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9

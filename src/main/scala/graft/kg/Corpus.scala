@@ -59,6 +59,41 @@ object Corpus {
         col("s.kind").as("kind"), col("s.text").as("text"),
         col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
 
+  /** P3 explode + in-row media adjacency: the exploded columns of
+    * [[explodeSpans]] plus `adj_media` — the media_refs of the spans
+    * DIRECTLY adjacent (span_idx ± 1) to this one, read from the
+    * document's own spans array at explode time. Adjacency is a
+    * per-document property, so it belongs in the scan-side projection:
+    * this is what lets the triple stage emit depictedIn triples with
+    * NO media join and NO second corpus scan (VERDICT r3 #6 — the old
+    * form planned the corpus twice and shuffle-joined links against
+    * corpus-sized media rows on doc_id at 100 TB). Parity with the
+    * join form it replaces: adjacent spans qualify iff kind is
+    * non-null and not 'text' (the old media-branch predicate), and null
+    * media_refs are dropped (the emit-time isNotNull filter) while
+    * empty-string refs are kept. Still a pure Generate + projection —
+    * zero shuffles at any corpus size. */
+  def explodeSpansAdj(docs: DataFrame): DataFrame = {
+    // try_element_at: 1-based, null out-of-range; span_idx (0-based)
+    // is the 1-based index of the PREVIOUS span. The `when` guards
+    // index 0 (illegal even for try_element_at); CaseWhen only
+    // evaluates the taken branch.
+    val prev = when(col("span_idx") > 0, try_element_at(col("spans"), col("span_idx")))
+    val next = try_element_at(col("spans"), col("span_idx") + lit(2))
+    docs.select(col("doc_id"), col("spans"),
+        posexplode(col("spans")).as(Seq("span_idx", "s")))
+      .select(col("doc_id"), col("span_idx").cast("int").as("span_idx"),
+        col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"),
+        filter(
+          transform(
+            filter(array(prev, next), x =>
+              x.isNotNull && x.getField("kind").isNotNull &&
+                x.getField("kind") =!= "text"),
+            x => x.getField("media_ref")),
+          r => r.isNotNull).as("adj_media"))
+  }
+
   /** P4 inverse: reassemble the per-doc ordered span array. One shuffle
     * on doc_id; `array_sort` on the span_idx witness restores order
     * regardless of shuffle nondeterminism. */

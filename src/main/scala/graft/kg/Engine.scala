@@ -38,9 +38,14 @@ object Engine {
         col("m.coarse_type").as("coarse_type"))
   }
 
+  /** Name of the in-row media-adjacency column
+    * ([[Corpus.explodeSpansAdj]]) that the `carry` parameter threads
+    * from the scan to the triple emit. */
+  val AdjMedia = "adj_media"
+
   /** Mention detection over text spans: match rows + per-span
     * occurrence counts. Returns
-    * (doc_id, span_idx, surface, coarse_type, n_occ).
+    * (doc_id, span_idx, surface, coarse_type, n_occ [, carry...]).
     *
     * ZERO shuffles (round 3): the per-span n_occ aggregate's groups
     * each live inside ONE exploded span row, so the Aho–Corasick
@@ -49,84 +54,55 @@ object Engine {
     * pre-normalized) and the former corpus-wide groupBy — the only
     * exchange between the parquet scan and the mention snapshot —
     * vanishes. Differentially guarded against the occurrence-stream
-    * formulation in GoldenPipelineSpec. */
-  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
+    * formulation in GoldenPipelineSpec.
+    *
+    * `carry`: span-level columns (functionally dependent on
+    * (doc_id, span_idx)) threaded through the stage schema — the
+    * single-scan triple path carries [[AdjMedia]] this way so the
+    * depictedIn inputs ride the mention rows instead of a second
+    * corpus-sized frame. */
+  def mentions(spans: DataFrame, gazetteer: Seq[(String, String)],
+               carry: Seq[String] = Nil): DataFrame = {
     val spark = spans.sparkSession
     val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
     spans
       .where(col("kind") === "text")
-      .select(col("doc_id"), col("span_idx"),
-        explode(GazetteerMatchCountsExpr(col("text"), trie)).as("m"))
-      .select(col("doc_id"), col("span_idx"),
+      .select(Seq(col("doc_id"), col("span_idx")) ++ carry.map(col) :+
+        explode(GazetteerMatchCountsExpr(col("text"), trie)).as("m"): _*)
+      .select(Seq(col("doc_id"), col("span_idx"),
         col("m.surface").as("surface"),
         col("m.coarse_type").as("coarse_type"),
-        col("m.n_occ").as("n_occ"))
-  }
-
-  /** Media-adjacency rows (doc_id, span_idx, media_ref) — the
-    * depictedIn input of [[triples]]. In the materializing pipeline
-    * these rows come out of the mention-stage single scan
-    * ([[scanRecords]]); this derivation exists for the declarative
-    * query form where nothing is materialized. */
-  def mediaRows(spans: DataFrame): DataFrame =
-    spans.where(col("kind") =!= "text")
-      .select(col("doc_id"), col("span_idx"), col("media_ref"))
-
-  /** Unified scan records WITH counts — the pipeline's stage-1 frame:
-    * (doc_id, span_idx, rec, surface, coarse_type, media_ref, n_occ).
-    * Mention rows carry in-expression per-span counts exactly as
-    * [[mentions]] emits them; media rows are unique per span
-    * (n_occ = 1). Entirely stateless scan-side projection — no
-    * shuffle at ANY corpus size, and therefore also runnable
-    * directly on a readStream in append mode. */
-  def scanRecords(spans: DataFrame, gazetteer: Seq[(String, String)]): DataFrame = {
-    val spark = spans.sparkSession
-    val trie = spark.sparkContext.broadcast(AcTrie(gazetteer))
-    val strNull = lit(null).cast("string")
-    spans
-      // malformed spans (null kind) carry no record: [[mentions]] and
-      // [[mediaRows]] both drop them via their kind predicates, and the
-      // `otherwise` branch below would otherwise misroute them to media
-      // — keep the two DAG forms byte-identical on dirty corpora
-      .where(col("kind").isNotNull)
-      .select(col("doc_id"), col("span_idx"),
-        explode(
-          when(col("kind") === "text",
-            transform(GazetteerMatchCountsExpr(col("text"), trie), m =>
-              struct(lit("mention").as("rec"),
-                m.getField("surface").as("surface"),
-                m.getField("coarse_type").as("coarse_type"),
-                strNull.as("media_ref"),
-                m.getField("n_occ").as("n_occ"))))
-          .otherwise(array(struct(lit("media").as("rec"),
-            strNull.as("surface"), strNull.as("coarse_type"),
-            col("media_ref").as("media_ref"),
-            lit(1L).as("n_occ"))))).as("r"))
-      .select(col("doc_id"), col("span_idx"), col("r.rec").as("rec"),
-        col("r.surface").as("surface"), col("r.coarse_type").as("coarse_type"),
-        col("r.media_ref").as("media_ref"), col("r.n_occ").as("n_occ"))
+        col("m.n_occ").as("n_occ")) ++ carry.map(col): _*)
   }
 
   /** Candidate generation: broadcast join against the anchor dictionary
     * (alias_norm, entity_id, prior). */
-  def candidates(mentions: DataFrame, anchorDict: DataFrame): DataFrame =
+  def candidates(mentions: DataFrame, anchorDict: DataFrame,
+                 carry: Seq[String] = Nil): DataFrame =
     mentions
       .join(broadcast(anchorDict), col("surface") === col("alias_norm"))
-      .select(col("doc_id"), col("span_idx"), col("surface"),
-        col("coarse_type"), col("n_occ"), col("entity_id"), col("prior"))
+      .select(Seq(col("doc_id"), col("span_idx"), col("surface"),
+        col("coarse_type"), col("n_occ"), col("entity_id"),
+        col("prior")) ++ carry.map(col): _*)
 
   /** Link scoring + per-mention argmax. `boost` is the context-score
     * hook (a Column over the candidate row). Tie-break: lexicographic
-    * max of (score, entity_id) — total, deterministic. */
-  def links(candidates: DataFrame, boost: Column): DataFrame =
+    * max of (score, entity_id) — total, deterministic. Carried columns
+    * join the groupBy key (they are constant within a mention's group,
+    * so the result set is unchanged and stays deterministic by
+    * construction — no first()-style nondeterminism). */
+  def links(candidates: DataFrame, boost: Column,
+            carry: Seq[String] = Nil): DataFrame =
     candidates
       .withColumn("score", col("prior") * boost * (lit(1.0) + col("n_occ")))
-      .groupBy(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"))
+      .groupBy((Seq("doc_id", "span_idx", "surface", "coarse_type") ++ carry)
+        .map(col): _*)
       .agg(max_by(
         struct(col("entity_id"), col("score")),
         struct(col("score"), col("entity_id"))).as("best"))
-      .select(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"),
-        col("best.entity_id").as("entity_id"), col("best.score").as("score"))
+      .select(Seq(col("doc_id"), col("span_idx"), col("surface"), col("coarse_type"),
+        col("best.entity_id").as("entity_id"),
+        col("best.score").as("score")) ++ carry.map(col): _*)
 
   /** Entity canonicalization: CC over the alias graph (src, dst). */
   def canonical(aliasEdges: DataFrame): DataFrame =
@@ -140,7 +116,14 @@ object Engine {
   val BroadcastCanonMaxRows: Long = 10000000L
 
   /** Triple emit: mention + typing + media-adjacency triples,
-    * canonicalized and deduplicated.
+    * canonicalized and deduplicated. `links` must carry [[AdjMedia]]
+    * (thread it from [[Corpus.explodeSpansAdj]] with the stages'
+    * `carry` parameter): the depictedIn inputs arrive ON the link rows,
+    * so the emit is one dictionary join + one explode — no media join
+    * at all. The old form left-joined corpus-sized media rows on
+    * doc_id (a second corpus-scale shuffle AND, in the declarative
+    * query form, a second corpus scan); in-row adjacency removes both
+    * (VERDICT r3 #6).
     *
     * `canonRows` size-gates the canonical-map join: when the caller
     * knows the row count (snapshot manifests carry it; fixture
@@ -149,53 +132,42 @@ object Engine {
     * is known-large or unknown, no hint is applied and Catalyst/AQE
     * pick from actual stats — a corpus-scale canon map then shuffles
     * instead of OOMing the driver. */
-  def triples(links: DataFrame, canon: DataFrame, mediaAdj: DataFrame,
+  def triples(links: DataFrame, canon: DataFrame,
               canonRows: Option[Long] = None): DataFrame = {
     val canonSide = canon.withColumnRenamed("entity_id", "eid")
     val canonHinted =
       if (canonRows.exists(_ <= BroadcastCanonMaxRows)) broadcast(canonSide)
       else canonSide
-    val lkc = links
+    links
       .join(canonHinted, col("entity_id") === col("eid"), "left")
-      .select(col("doc_id"), col("span_idx"), col("coarse_type"),
-        coalesce(col("canonical_id"), col("entity_id")).as("entity"))
-
-    // ONE pass over the links subtree: a union of three per-type
-    // selects would plan the (corpus-grade) links subtree three times
-    // — instead, left-join the media adjacency once and explode an
-    // array of the three triple shapes per row. Rows duplicated by
-    // multiple adjacent media spans are absorbed by the final dedup
-    // (set semantics), exactly as the union form was. `mediaAdj` is
-    // (doc_id, span_idx, media_ref) — from [[mediaRows]] in the query
-    // form, or read back from the mention-stage snapshot in the
-    // materializing pipeline so the corpus is not re-scanned.
-    val media = mediaAdj
-      .select(col("doc_id").as("m_doc"), col("span_idx").as("m_idx"), col("media_ref"))
-    lkc
-      .join(media, col("doc_id") === col("m_doc") &&
-        (col("span_idx") === col("m_idx") - 1 || col("span_idx") === col("m_idx") + 1),
-        "left")
-      .select(explode(filter(array(
-        struct(col("entity").as("subj"), lit("mentionedIn").as("pred"),
-          concat(lit("doc:"), col("doc_id")).as("obj")),
-        struct(col("entity").as("subj"), lit("hasType").as("pred"),
-          col("coarse_type").as("obj")),
-        when(col("media_ref").isNotNull,
+      .select(col("doc_id"), col("coarse_type"),
+        coalesce(col("canonical_id"), col("entity_id")).as("entity"),
+        // defensive: a null adjacency (e.g. a sink that wrote the
+        // column as null instead of empty) must not null the whole
+        // concat and silently drop the row's mention/type triples
+        coalesce(col(AdjMedia), array().cast("array<string>")).as(AdjMedia))
+      .select(explode(concat(
+        array(
+          struct(col("entity").as("subj"), lit("mentionedIn").as("pred"),
+            concat(lit("doc:"), col("doc_id")).as("obj")),
+          struct(col("entity").as("subj"), lit("hasType").as("pred"),
+            col("coarse_type").as("obj"))),
+        transform(col(AdjMedia), r =>
           struct(col("entity").as("subj"), lit("depictedIn").as("pred"),
-            col("media_ref").as("obj")))),
-        x => x.isNotNull)).as("t"))
+            r.as("obj"))))).as("t"))
       .select(col("t.subj").as("subj"), col("t.pred").as("pred"), col("t.obj").as("obj"))
       .dropDuplicates("subj", "pred", "obj")
   }
 
-  /** Full DAG: docs → triples. */
+  /** Full DAG: docs → triples, single corpus scan. */
   def run(docs: DataFrame, gazetteer: Seq[(String, String)],
           anchorDict: DataFrame, aliasEdges: DataFrame,
           boost: Column): DataFrame = {
-    val spans = Corpus.explodeSpans(docs)
-    val m = mentions(spans, gazetteer)
-    val c = candidates(m, anchorDict)
-    val l = links(c, boost)
-    triples(l, canonical(aliasEdges), mediaRows(spans))
+    val carry = Seq(AdjMedia)
+    val spans = Corpus.explodeSpansAdj(docs)
+    val m = mentions(spans, gazetteer, carry)
+    val c = candidates(m, anchorDict, carry)
+    val l = links(c, boost, carry)
+    triples(l, canonical(aliasEdges))
   }
 }

@@ -50,37 +50,38 @@ object Pipeline {
       .select(col("surface"), col("coarse_type"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 
-    // Stage 1: the ONE corpus-wide scan of the whole DAG — emits the
-    // unified scan records (mention rows AND media-adjacency rows,
-    // Engine.scanRecords) in one job for all missing buckets (grouped
-    // by the retry-unit knob). The triple stage reads its media rows
-    // back from this snapshot instead of re-scanning the corpus
-    // (VERDICT r2 #3).
+    // Stage 1: the ONE corpus-wide scan of the whole DAG — mention
+    // rows CARRYING their in-row media adjacency (explodeSpansAdj +
+    // carry), in one job for all missing buckets (grouped by the
+    // retry-unit knob). The depictedIn inputs ride these rows, so no
+    // media frame is ever materialized and the triple stage performs
+    // no media join (r4; previously the stage emitted separate media
+    // records and the triple stage shuffle-joined them back).
+    val carry = Seq(Engine.AdjMedia)
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(NumBuckets)).cast("int")
     val missing = (0 until NumBuckets)
       .filterNot(b => done.contains(s"mentions-bucket-$b"))
     missing.grouped(math.max(1, bucketsPerScan)).foreach { group =>
       val docs = corpus().where(bucketOf(col("doc_id")).isin(group: _*))
-      val m = Engine.scanRecords(Corpus.explodeSpans(docs), gazSeq)
+      val m = Engine.mentions(Corpus.explodeSpansAdj(docs), gazSeq, carry)
         .withColumn("bucket", bucketOf(col("doc_id")))
       store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
         buckets = group, markerFor = b => s"mentions-bucket-$b",
         statsCol = Some("doc_id")) // per-bucket source doc_id ranges in lineage
     }
 
-    // Mention rows: rec filter is a pushed parquet predicate (row-group
-    // stats skip media-only groups); media_ref is pruned away.
     val mentions = store.read(spark, stage = Some("mentions"))
-      .where(col("rec") === "mention")
       .select(col("doc_id"), col("span_idx"), col("surface"),
-        col("coarse_type"), col("n_occ"))
+        col("coarse_type"), col("n_occ"), col(Engine.AdjMedia))
 
-    // Stage 2+3: candidates + link scoring (dictionary joins + argmax).
+    // Stage 2+3: candidates + link scoring (dictionary joins + argmax);
+    // adjacency threads through both so the triple stage needs only
+    // this snapshot.
     if (!store.markers().contains("links")) {
       val links = Engine.links(
-        Engine.candidates(mentions, Stages.anchorDict(spark, sfDir)),
-        Stages.scoreBoost)
+        Engine.candidates(mentions, Stages.anchorDict(spark, sfDir), carry),
+        Stages.scoreBoost, carry)
       store.commit(links, stage = "links", marker = "links")
     }
     val links = store.read(spark, stage = Some("links"))
@@ -95,16 +96,12 @@ object Pipeline {
     // Stage 5: triple emit, partitioned by predicate for pruned reads.
     // The canonical map's exact row count is free from its snapshot
     // manifest — it size-gates the broadcast inside Engine.triples.
-    // Media-adjacency rows come from the stage-1 snapshot (columnar,
-    // rec-filtered, 3 columns) — the corpus parquet is NOT touched
-    // again.
+    // depictedIn inputs ride the link rows (adj_media) — neither the
+    // corpus nor the mention snapshot is touched again.
     if (!store.markers().contains("triples")) {
       val canonRows = store.manifests()
         .filter(_.stage == "canonical").map(_.rows).sum
-      val media = store.read(spark, stage = Some("mentions"))
-        .where(col("rec") === "media")
-        .select(col("doc_id"), col("span_idx"), col("media_ref"))
-      val triples = Engine.triples(links, canon, media, Some(canonRows))
+      val triples = Engine.triples(links, canon, Some(canonRows))
       store.commit(triples, stage = "triples", marker = "triples",
         partitionBy = Seq("pred"))
     }

@@ -92,10 +92,20 @@ object Stages {
   def canonicalMap(spark: SparkSession, dir: String): DataFrame =
     Engine.canonical(aliasEdges(spark, dir))
 
-  def triples(spark: SparkSession, dir: String): DataFrame =
+  def triples(spark: SparkSession, dir: String): DataFrame = {
+    // Single-scan declarative form: media adjacency rides the mention
+    // rows (explodeSpansAdj + carry), so the corpus subtree appears
+    // ONCE in this plan — no separate media branch, no media join.
+    val carry = Seq(Engine.AdjMedia)
+    val spansAdj = Corpus.explodeSpansAdj(Corpus.docs(spark, dir))
+    val l = Engine.links(
+      Engine.candidates(
+        Engine.mentions(spansAdj, gazetteerSeq(spark, dir), carry),
+        anchorDict(spark, dir), carry),
+      scoreBoost, carry)
     // canon size is bounded by construction: ≤3 entity nodes (E0/E1/E2)
     // per gazetteer surface → broadcast-eligible without a count job
-    Engine.triples(links(spark, dir), canonicalMap(spark, dir),
-      Engine.mediaRows(spans(spark, dir)),
+    Engine.triples(l, canonicalMap(spark, dir),
       canonRows = Some(3L * GazetteerSize))
+  }
 }

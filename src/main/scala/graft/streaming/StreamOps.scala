@@ -127,13 +127,17 @@ object StreamOps {
       graft.kg.Corpus.explodeSpans(docs), gazetteer)
 
   /** Incremental linking end-to-end: the FULL KG DAG driven by a
-    * document stream. The corpus-scan stage (unified mention + media
-    * records, graft.kg.Engine.scanRecords) is stateless and runs on
-    * the stream itself; everything per-document-bounded — the n_occ
-    * aggregation, candidate join, link argmax, canonical join and
-    * triple emit — runs batch-side inside foreachBatch, where each doc
-    * is whole (one parquet file = one micro-batch; a doc's spans never
-    * split across batches). Each batch commits its triples under a
+    * document stream. The corpus-scan stage — mention rows carrying
+    * their in-row media adjacency (graft.kg.Corpus.explodeSpansAdj +
+    * Engine.mentions with carry) — is stateless and runs on the
+    * stream itself; the per-mention-bounded rest (candidate join,
+    * link argmax, canonical join, triple emit) runs batch-side inside
+    * foreachBatch. Because adjacency is computed from each document
+    * ROW's own spans array at scan time, depictedIn triples no longer
+    * depend on any cross-row or cross-batch co-location — the old
+    * form's "a doc's spans never split across micro-batches"
+    * assumption (ADVICE r3) is gone by construction, there being no
+    * media join left to miss. Each batch commits its triples under a
     * batchId marker, so replays are exactly-once at the snapshot level
     * and the result is resumable like the batch pipeline. Triples are
     * set-semantic: an entity mentioned in docs of different batches
@@ -149,25 +153,20 @@ object StreamOps {
                          canon: DataFrame, store: SnapshotStore,
                          canonRows: Option[Long] = None): DataStreamWriter[Row] = {
     import graft.kg.{Corpus, Engine}
-    // scanRecords counts mention occurrences inside the matcher
-    // expression (r3), so the stream stage carries finished per-span
-    // counts — nothing to aggregate batch-side.
-    val records = Engine.scanRecords(Corpus.explodeSpans(docsStream), gazetteer)
+    val carry = Seq(Engine.AdjMedia)
+    // mention occurrences are counted inside the matcher expression
+    // (r3), so the stream stage carries finished per-span counts —
+    // nothing to aggregate batch-side.
+    val records = Engine.mentions(
+      Corpus.explodeSpansAdj(docsStream), gazetteer, carry)
     records.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist() // two branches (mentions, media) over one small batch
-        try {
-          val mentions = b.where(col("rec") === "mention")
-            .select(col("doc_id"), col("span_idx"), col("surface"),
-              col("coarse_type"), col("n_occ"))
-          val media = b.where(col("rec") === "media")
-            .select(col("doc_id"), col("span_idx"), col("media_ref"))
-          val links = Engine.links(Engine.candidates(mentions, anchorDict), boost)
-          val triples = Engine.triples(links, canon, media, canonRows)
-          store.commit(triples, stage = "triples",
-            marker = s"triples-batch-$batchId"): Unit
-        } finally b.unpersist(): Unit
+        val links = Engine.links(
+          Engine.candidates(batch, anchorDict, carry), boost, carry)
+        val triples = Engine.triples(links, canon, canonRows)
+        store.commit(triples, stage = "triples",
+          marker = s"triples-batch-$batchId"): Unit
       }
   }
 

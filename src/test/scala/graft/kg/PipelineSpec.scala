@@ -55,7 +55,8 @@ class PipelineSpec extends SparkSuite {
     def bucketOf(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(Pipeline.NumBuckets)).cast("int")
     val docs = Corpus.docs(spark, sf).where(bucketOf(col("doc_id")).isin(0 to 3: _*))
-    val m = Engine.scanRecords(Corpus.explodeSpans(docs), gazSeq)
+    val m = Engine.mentions(Corpus.explodeSpansAdj(docs), gazSeq,
+        carry = Seq(Engine.AdjMedia))
       .withColumn("bucket", bucketOf(col("doc_id")))
     store.commitBuckets(m, stage = "mentions", bucketCol = "bucket",
       buckets = 0 to 3, markerFor = b => s"mentions-bucket-$b")
@@ -72,21 +73,16 @@ class PipelineSpec extends SparkSuite {
     assert(got == want)
   }
 
-  test("the whole DAG scans the corpus parquet exactly once") {
-    // The corpus as its own nested parquet table (production shape);
-    // count FileSourceScan executions over it across EVERY job the
-    // pipeline runs — mention detection is the only permitted reader
-    // (the triple stage's media rows come from the stage-1 snapshot;
-    // VERDICT r2 #3).
-    val corpusDir = Files.createTempDirectory("corpus").resolve("corpus.parquet").toString
-    Corpus.docs(spark, sf).write.parquet(corpusDir)
+  /** Counts FileSourceScan executions over `corpusDir` across every
+    * job `body` runs. Typed traversal: AQE wraps the final plan in
+    * leaf nodes whose STRING form also repeats the initial plan —
+    * count scan NODES, descending through AdaptiveSparkPlanExec /
+    * QueryStageExec leaves. */
+  private def countCorpusScans(corpusDir: String)(body: => Unit): Int = {
     val nScans = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // typed traversal: AQE wraps the final plan in leaf nodes whose
-      // STRING form also repeats the initial plan — count scan NODES,
-      // descending through AdaptiveSparkPlanExec/QueryStageExec leaves
       private def count(p: SparkPlan): Int = p match {
         case a: AdaptiveSparkPlanExec => count(a.executedPlan)
         case q: QueryStageExec => count(q.plan)
@@ -102,13 +98,50 @@ class PipelineSpec extends SparkSuite {
     }
     spark.listenerManager.register(listener)
     try {
-      val out = Files.createTempDirectory("pipe-onescan").toString
-      val store = Pipeline.run(spark, sf, out, corpusPath = Some(corpusDir))
+      body
       org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
-      assert(nScans.get == 1, s"corpus scanned ${nScans.get} times, want 1")
-      val got = tripleSet(store.read(spark, stage = Some("triples")))
-      assert(got == tripleSet(Stages.triples(spark, sf)) && got.nonEmpty)
+      nScans.get
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("the whole DAG scans the corpus parquet exactly once") {
+    // The corpus as its own nested parquet table (production shape);
+    // count scans over it across EVERY job the pipeline runs —
+    // mention detection is the only permitted reader (depictedIn
+    // adjacency rides the mention rows; VERDICT r2 #3, r3 #6).
+    val corpusDir = Files.createTempDirectory("corpus").resolve("corpus.parquet").toString
+    Corpus.docs(spark, sf).write.parquet(corpusDir)
+    val out = Files.createTempDirectory("pipe-onescan").toString
+    var store: graft.sources.SnapshotStore = null
+    val n = countCorpusScans(corpusDir) {
+      store = Pipeline.run(spark, sf, out, corpusPath = Some(corpusDir))
+    }
+    assert(n == 1, s"corpus scanned $n times, want 1")
+    val got = tripleSet(store.read(spark, stage = Some("triples")))
+    assert(got == tripleSet(Stages.triples(spark, sf)) && got.nonEmpty)
+  }
+
+  test("declarative (no-materialization) triples query also scans the corpus once") {
+    // VERDICT r3 #6: the query form used to plan the corpus scan twice
+    // (links subtree + media subtree). With in-row adjacency there IS
+    // no media subtree — one FileSourceScan in the one executed query.
+    val corpusDir = Files.createTempDirectory("corpus-q").resolve("corpus.parquet").toString
+    Corpus.docs(spark, sf).write.parquet(corpusDir)
+    val gazSeq = Stages.gazetteer(spark, sf)
+      .select(col("surface"), col("coarse_type"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val carry = Seq(Engine.AdjMedia)
+    val links = Engine.links(
+      Engine.candidates(
+        Engine.mentions(Corpus.explodeSpansAdj(spark.read.parquet(corpusDir)), gazSeq, carry),
+        Stages.anchorDict(spark, sf), carry),
+      Stages.scoreBoost, carry)
+    val triples = Engine.triples(links, Stages.canonicalMap(spark, sf),
+      canonRows = Some(3L * Stages.GazetteerSize))
+    var got: Set[(String, String, String)] = Set.empty
+    val n = countCorpusScans(corpusDir) { got = tripleSet(triples) }
+    assert(n == 1, s"declarative form scanned the corpus $n times, want 1")
+    assert(got == tripleSet(Stages.triples(spark, sf)) && got.nonEmpty)
   }
 
   test("bucketsPerScan retry-unit knob: grouped scans produce identical output") {

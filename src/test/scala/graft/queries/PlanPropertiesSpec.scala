@@ -113,16 +113,14 @@ class PlanPropertiesSpec extends SparkSuite {
   test("canon broadcast is size-gated: known-large canonical maps shuffle-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val links = Seq(("d1", 0, "PER", "E1_x", 1.4))
-      .toDF("doc_id", "span_idx", "coarse_type", "entity_id", "score")
-    val media = Seq(("d1", 1, "media://m"))
-      .toDF("doc_id", "span_idx", "media_ref")
+    val links = Seq(("d1", 0, "PER", "E1_x", 1.4, Seq("media://m")))
+      .toDF("doc_id", "span_idx", "coarse_type", "entity_id", "score", "adj_media")
     val canon = spark.range(2000000).select(
       concat(lit("E"), col("id")).as("entity_id"),
       concat(lit("E"), pmod(col("id"), lit(100))).as("canonical_id"))
 
     def canonJoin(rows: Option[Long]): String =
-      graft.kg.Engine.triples(links, canon, media, rows)
+      graft.kg.Engine.triples(links, canon, rows)
         .queryExecution.sparkPlan.toString
 
     // known-small → broadcast hint honored
