@@ -298,6 +298,47 @@ object DataPrepQueries {
         Similarity.lshTopKBatchProbe(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
       }),
 
+    "ann_recall" -> Q(
+      ("WITH " + lshBucketSql + s""",
+        |qs AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket AS q_bucket
+        |       FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+        |       WHERE e.vec_id % 50 = 0),
+        |probes AS (
+        |  SELECT q.q_id, q.q_emb,
+        |    CASE WHEN p < 0 THEN q.q_bucket
+        |         ELSE xor(q.q_bucket, (1::BIGINT << CAST(p AS INT))) END AS probe
+        |  FROM qs q CROSS JOIN generate_series(-1, ${Similarity.LshPlanes - 1}) tp(p)
+        |),
+        |approx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT pr.q_id, e.vec_id, row_number() OVER (PARTITION BY pr.q_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                            CAST(pr.q_emb AS DOUBLE[])), 4) DESC,
+        |               e.vec_id) AS rn
+        |    FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+        |    JOIN probes pr ON b.bucket = pr.probe AND e.vec_id <> pr.q_id)
+        |  WHERE rn <= 3
+        |),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                            CAST(q.q_emb AS DOUBLE[])), 4) DESC,
+        |               e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id)
+        |  WHERE rn <= 3
+        |)
+        |SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM exact x LEFT JOIN approx a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        |GROUP BY x.q_id""").stripMargin)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.recallAtK(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      }),
+
     // ---------- text analysis ----------
     "text_langid" -> Q(
       ("WITH " + toksSql + """,
