@@ -196,4 +196,67 @@ class SnapshotStoreSpec extends SparkSuite {
     if (!done.contains("mB")) store.commit(b, "s", "mB")
     assert(store.read(spark).count() == 3) // ≡ commit(A ∪ B), exactly once
   }
+
+  test("SQL INSERT INTO commits an atomic snapshot; identical replay is a no-op") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "ev", "m1")
+
+    val cat = s"snapw${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+
+    // first insert: a new snapshot, visible to latest reads
+    spark.sql(s"INSERT INTO $cat.ev VALUES (2, 'b'), (3, 'c')")
+    assert(store.manifests().size == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 3)
+
+    // the IDENTICAL statement replayed: semantic-hash marker makes it
+    // a no-op — exactly-once at the snapshot level, surfaced in SQL
+    spark.sql(s"INSERT INTO $cat.ev VALUES (2, 'b'), (3, 'c')")
+    assert(store.manifests().size == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 3)
+
+    // a semantically different insert commits a new snapshot...
+    spark.sql(s"INSERT INTO $cat.ev VALUES (4, 'd')")
+    assert(store.manifests().size == 3)
+    // ...and the log stays time-travelable across the SQL commits
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 2").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 4)
+    // programmatic and SQL reads agree (one store, one snapshot log)
+    assert(store.read(spark, stage = Some("ev")).count() == 4)
+  }
+
+  test("SQL filter on a hidden-partition column prunes partition dirs via the catalog") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = freshStore()
+    val events = Seq((86400L * 0 + 10, "a"), (86400L * 1 + 20, "b"),
+      (86400L * 2 + 30, "c")).toDF("ts", "v")
+    store.commit(events, "ev", "m1",
+      hiddenPartitions = Seq("day" -> (col("ts").cast("long") / 86400L).cast("long")))
+
+    val cat = s"snaph${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+
+    // the SQL surface serves the physical table (hidden col visible),
+    // so a WHERE on the transform column must become a PARTITION
+    // filter — pruned dirs, not a row filter over all files
+    val q = spark.sql(s"SELECT ts, v FROM $cat.ev WHERE day = 1")
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("b"))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    // the pruned scan plans exactly one FILE (one of the three day
+    // dirs) — counting files, not RDD partitions, because Spark packs
+    // multiple files into one partition and would pass vacuously
+    val files = scan.batch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+      case _ => Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    }.length
+    assert(files == 1,
+      s"expected 1 surviving file after partition pruning, got $files; " +
+        s"plan: ${scan.toString.take(900)}")
+  }
 }
