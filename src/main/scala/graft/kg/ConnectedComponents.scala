@@ -36,10 +36,26 @@ object ConnectedComponents {
     * build side; genuinely large graphs take the distributed path. */
   val LocalEdgeThreshold = 1000000L
 
+  /** Per-round materialization for the fixpoint loops. Lineage MUST be
+    * truncated here — an iterative plan otherwise grows exponentially —
+    * so persist() is not an option (it keeps lineage but Catalyst still
+    * re-analyzes the ever-deeper plan each round). When the session has
+    * a reliable checkpoint dir configured (`sc.setCheckpointDir`, i.e.
+    * durable shared storage on a real cluster), rounds checkpoint THERE:
+    * losing an executor mid-loop recovers from the filesystem instead of
+    * killing the job, which is the failure-tolerance contract a
+    * 100 TB-adjacent alias graph needs (same argument as the dedup
+    * sketch persist, VERDICT r3). Without one (this single-JVM sandbox)
+    * rounds fall back to eager `localCheckpoint` — non-replicated
+    * executor blocks, the documented single-node trade. */
+  private def materializeRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Driver-orchestrated fixpoint loop; each iteration is a fresh job.
-    * `localCheckpoint` every round truncates lineage so plans don't grow
-    * exponentially across iterations. Tiny graphs short-circuit to a
-    * driver-local union-find (same output contract, differentially
+    * [[materializeRound]] every round truncates lineage so plans don't
+    * grow exponentially across iterations. Tiny graphs short-circuit to
+    * a driver-local union-find (same output contract, differentially
     * tested against the distributed path). */
   def alternating(edgesIn: DataFrame, maxIter: Int = 50,
                   localThreshold: Long = LocalEdgeThreshold): DataFrame = {
@@ -161,11 +177,11 @@ object ConnectedComponents {
         .repartition(parts, $"u", $"v")
         .distinct()
 
-    val nodes = edgesIn.select($"src".as("n"))
-      .union(edgesIn.select($"dst".as("n"))).distinct()
-      .localCheckpoint(true)
+    val nodes = materializeRound(
+      edgesIn.select($"src".as("n"))
+        .union(edgesIn.select($"dst".as("n"))).distinct())
 
-    var edges = canon(edgesIn.select($"src", $"dst")).localCheckpoint(true)
+    var edges = materializeRound(canon(edgesIn.select($"src", $"dst")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -193,7 +209,7 @@ object ConnectedComponents {
       val selfLink = m2.select($"a".as("src"), $"m".as("dst"))
       val small = canon(smallNbr.union(selfLink))
 
-      val next = small.localCheckpoint(true)
+      val next = materializeRound(small)
       // fixpoint: edge multiset stable (both are distinct sets ⇒ compare
       // via anti-joins). ONE driver action per round: union the two
       // early-limited anti-joins and ask for a single surviving row.
@@ -219,16 +235,16 @@ object ConnectedComponents {
       .union(edgesIn.select($"dst".as("a"), $"src".as("b")))
       .where($"a" =!= $"b").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select($"a".as("n")).distinct()
-      .select($"n", $"n".as("label")).localCheckpoint(true)
+    var labels = materializeRound(und.select($"a".as("n")).distinct()
+      .select($"n", $"n".as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val prop = und.join(labels, $"b" === $"n")
         .groupBy($"a").agg(min($"label").as("nl"))
-      val next = labels.join(prop, $"n" === $"a", "left")
-        .select($"n", least($"label", coalesce($"nl", $"label")).as("label"))
-        .localCheckpoint(true)
+      val next = materializeRound(
+        labels.join(prop, $"n" === $"a", "left")
+          .select($"n", least($"label", coalesce($"nl", $"label")).as("label")))
       changed = next.as("x").join(labels.as("y"), $"x.n" === $"y.n")
         .where($"x.label" =!= $"y.label").count()
       labels = next
