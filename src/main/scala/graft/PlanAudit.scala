@@ -22,7 +22,8 @@ object PlanAudit {
     "dedup_minhash_pairs", // expect band equi-join, no cartesian
     "dedup_simhash_pairs", // expect multi-table key equi-join, no cartesian
     "ann_lsh_probe",   // expect probe-side explode, still ONE equi-join
-    "kg_triples",      // expect broadcast canon join + single wide dedup
+    "ann_recall",      // expect bucketed approx side + (query-sample × corpus) exact side
+    "kg_triples",      // expect broadcast canon join, ONE corpus scan, NO media join (r4)
     "topk")            // expect TakeOrderedAndProject, not global sort
 
   def main(args: Array[String]): Unit = {
