@@ -47,6 +47,30 @@ class CorpusInvariantSpec extends SparkSuite {
     }
   }
 
+  test("explodeSpansAdj: adj_media ≡ neighbor-derived media refs on adversarial corpora") {
+    import spark.implicits._
+    val rnd = new Random(77L)
+    val docs = genDocs(rnd, 60)
+    val got = Corpus.explodeSpansAdj(spark.createDataset(docs).toDF())
+      .select("doc_id", "span_idx", "adj_media")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toList)
+      .toMap
+    // independent Scala derivation of the same contract: refs of the
+    // directly adjacent non-text spans, nulls dropped, order prev→next
+    val want = docs.flatMap { d =>
+      d.spans.indices.map { i =>
+        val adj = Seq(i - 1, i + 1)
+          .filter(j => j >= 0 && j < d.spans.size).map(d.spans)
+          .filter(s => s.kind != null && s.kind != "text")
+          .map(_.media_ref).filter(_ != null)
+        (d.doc_id, i) -> adj.toList
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_.nonEmpty)) // generator produced media adjacency
+  }
+
   test("explode preserves order witness and flattened fields") {
     import spark.implicits._
     val docs = Seq(Doc("x", Seq(
