@@ -152,12 +152,31 @@ object GraftCatalog {
                 // depends on it)
                 require(!overwrite,
                   s"$stage: INSERT OVERWRITE is unsupported — the snapshot log is append-only")
-                // marker = semantic hash of the inserted plan: the
-                // same INSERT statement replayed (driver retry, user
-                // re-run of an idempotent script) is a no-op; any
-                // semantically different query commits a new snapshot
-                val marker = s"sql-insert-$stage-${data.semanticHash()}"
-                new SnapshotStore(root).commit(data, stage, marker): Unit
+                // marker = digest of the inserted plan: the same
+                // INSERT statement replayed (driver retry, user re-run
+                // of an idempotent script) is a no-op; any semantically
+                // different query commits a new snapshot. 128-bit md5
+                // over (canonicalized plan string, semanticHash,
+                // VALUES-literal row data) — the plan STRING alone is
+                // not enough (LocalRelation elides its rows, so two
+                // VALUES inserts with different data print alike) and
+                // the 32-bit semanticHash alone would make a silent
+                // lost-snapshot collision plausible at ~10^4 inserts;
+                // together a collision needs md5 itself to collide.
+                val analyzed = data.queryExecution.analyzed
+                val md = java.security.MessageDigest.getInstance("MD5")
+                md.update(analyzed.canonicalized.toString
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                md.update(java.nio.ByteBuffer.allocate(4).putInt(data.semanticHash()).array())
+                analyzed.foreach {
+                  case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+                    lr.data.foreach(r =>
+                      md.update(java.nio.ByteBuffer.allocate(4).putInt(r.hashCode).array()))
+                  case _ => ()
+                }
+                val digest = md.digest().map(b => f"$b%02x").mkString
+                new SnapshotStore(root)
+                  .commit(data, stage, s"sql-insert-$stage-$digest"): Unit
               }
             }
         }
