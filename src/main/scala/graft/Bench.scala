@@ -65,7 +65,13 @@ object Bench {
     // burst covers every sample of a query
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
-    val passes = (1 to nPasses).map(_ => timedPass().toMap)
+    // drop cached dedup sketch tables between passes: each pass
+    // re-persists them (DISK_ONLY), and without the release the blocks
+    // accumulate across passes — unbounded local-disk growth and an
+    // unfair tailwind for later passes
+    val passes = (1 to nPasses).map { _ =>
+      val p = timedPass().toMap; spark.catalog.clearCache(); p
+    }
     val results = names.map { case (k, _) => k -> passes.map(_(k)).min }
 
     // headline: KG pipeline throughput (mention-detect → … → triple-emit)

@@ -56,7 +56,10 @@ object Dedup {
     * corpus-sized; a resumable variant would `SnapshotStore.commit`
     * the sketches instead (same one-pass write, plus restart-survival
     * — the pair stage then reads a committed stage like the KG
-    * pipeline does). */
+    * pipeline does). Lifetime: the blocks stay until
+    * `spark.catalog.clearCache()` (or session end) — callers running
+    * many pair stages in one session (Bench clears between passes)
+    * release them that way. */
   private def materialize(df: DataFrame): DataFrame =
     df.persist(StorageLevel.DISK_ONLY)
 
@@ -261,9 +264,11 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",", comps: _*).cast("binary")).as("band_key"))
     }
-    val keyed = sig.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
-      .persist(StorageLevel.DISK_ONLY) // referenced twice by the self-join below
+    // referenced twice by the self-join below
+    val keyed = materialize(
+      sig.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+          col("bk.band_key").as("band_key")))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&

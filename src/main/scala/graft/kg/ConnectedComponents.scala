@@ -49,8 +49,19 @@ object ConnectedComponents {
     * rounds fall back to eager `localCheckpoint` — non-replicated
     * executor blocks, the documented single-node trade. */
   private def materializeRound(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // cache first: an eager checkpoint on an unpersisted frame runs
+      // the plan TWICE (the eager action, then the checkpoint-write
+      // job recomputing from lineage) — with the cache the write job
+      // reads the computed blocks, and the cache is dropped as soon as
+      // the checkpoint files exist. Checkpoint-file cleanup across
+      // rounds is the standard Spark knob
+      // (spark.cleaner.referenceTracking.cleanCheckpoints=true —
+      // files are removed when the round's RDD is GC'd).
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(eager = true)
+      finally { cached.unpersist(blocking = false); () }
+    } else df.localCheckpoint(eager = true)
 
   /** Driver-orchestrated fixpoint loop; each iteration is a fresh job.
     * [[materializeRound]] every round truncates lineage so plans don't

@@ -31,11 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot dirs — full pushdown / pruning / vectorization, only the
   * dir selection (manifest filtering, the Iceberg-manifest role) is
   * ours. Writes go through [[SnapshotStore.commit]] (atomic manifest
-  * rename) via the V1 write fallback, with a marker derived from the
-  * semantic hash of the inserted query plan: replaying the IDENTICAL
-  * insert statement is a no-op (the foreachBatch-style idempotence
-  * contract surfaced in SQL), while any different query commits a new
-  * snapshot. Without this routing, Spark would have reached the
+  * rename) via the V1 write fallback, replicating the stage's
+  * recorded partition layout. Idempotence: a fully-LITERAL insert
+  * (VALUES/range) carries a content-digest marker, so replaying the
+  * identical statement is a no-op (the foreachBatch contract surfaced
+  * in SQL); an insert reading any external source appends every time
+  * — plan-equality is not data-equality there, and deduping on it
+  * would silently drop legitimate appends of refreshed inputs.
+  * Without this routing, Spark would have reached the
   * delegate `ParquetTable`'s own file write and appended parquet
   * beneath a committed snapshot dir with NO manifest — silent
   * corruption of snapshot isolation (VERDICT r3 #4 closed the gap the
@@ -64,7 +67,9 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catName
 
-  private def store = new SnapshotStore(root)
+  // forRoot, not new: commit() serializes same-JVM writers on the
+  // instance monitor — per-statement instances would race latestId
+  private def store = SnapshotStore.forRoot(root)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     store.manifests().map(_.stage).distinct
@@ -74,9 +79,18 @@ class GraftCatalog extends TableCatalog {
     val ms = store.manifests()
       .filter(_.stage == ident.name)
       .filter(m => asOf.forall(m.id <= _))
-    val dirs = ms.map(_.dir)
+    // flat snapshots → their dirs as roots; partitioned snapshots →
+    // the manifests' FILE lists with basePath = the stage's shared
+    // hive root (directory discovery cannot union several partitioned
+    // roots; see SnapshotStore.Manifest.files)
+    val fileMs = ms.filter(_.files.nonEmpty)
+    val flatDirs = ms.filter(m => m.parts.isEmpty && m.hidden.isEmpty)
+      .map(_.dir)
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-    if (dirs.isEmpty) throw new NoSuchTableException(ident)
+    if (fileMs.nonEmpty && flatDirs.nonEmpty) throw new IllegalStateException(
+      s"$catName.${ident.name}: stage mixes flat and partitioned snapshots — " +
+        "one scan cannot serve both layouts; read via SnapshotStore.read " +
+        "(which unions layout groups) or keep the stage's partition spec stable")
     // mergeSchema: a stage whose later snapshots added columns must
     // serve the unified schema (matching SnapshotStore.read(
     // evolveSchema = true)) — without it the catalog serves whichever
@@ -84,9 +98,15 @@ class GraftCatalog extends TableCatalog {
     // later-added columns (ADVICE r3). Costs a footer-merge pass at
     // planning time, the price SnapshotStore makes opt-in; the SQL
     // surface favors correctness over that planning cost.
+    val (paths, options) =
+      if (fileMs.nonEmpty) {
+        val roots = fileMs.map(_.dir).distinct
+        (fileMs.flatMap(_.files).toList,
+          java.util.Map.of("mergeSchema", "true", "basePath", roots.head))
+      } else (flatDirs.toList, java.util.Map.of("mergeSchema", "true"))
+    if (paths.isEmpty) throw new NoSuchTableException(ident)
     val delegate = ParquetTable(s"$catName.${ident.name}", SparkSession.active,
-      new CaseInsensitiveStringMap(java.util.Map.of("mergeSchema", "true")),
-      dirs.toList, None, classOf[ParquetFileFormat])
+      new CaseInsensitiveStringMap(options), paths, None, classOf[ParquetFileFormat])
     new GraftCatalog.StageTable(delegate, ident.name, root)
   }
 
@@ -152,31 +172,60 @@ object GraftCatalog {
                 // depends on it)
                 require(!overwrite,
                   s"$stage: INSERT OVERWRITE is unsupported — the snapshot log is append-only")
-                // marker = digest of the inserted plan: the same
-                // INSERT statement replayed (driver retry, user re-run
-                // of an idempotent script) is a no-op; any semantically
-                // different query commits a new snapshot. 128-bit md5
-                // over (canonicalized plan string, semanticHash,
-                // VALUES-literal row data) — the plan STRING alone is
-                // not enough (LocalRelation elides its rows, so two
-                // VALUES inserts with different data print alike) and
-                // the 32-bit semanticHash alone would make a silent
-                // lost-snapshot collision plausible at ~10^4 inserts;
-                // together a collision needs md5 itself to collide.
+                val store = SnapshotStore.forRoot(root)
+                // Replicate the stage's recorded hive layout: a flat
+                // snapshot dir beside partitioned ones poisons Spark's
+                // multi-root partition discovery for every later read
+                // of the stage. Hidden-partition stages can't be
+                // SQL-appended at all — the transform Column is not
+                // reconstructible from its recorded name.
+                val stageMs = store.manifests().filter(_.stage == stage)
+                val hidden = stageMs.flatMap(_.hidden).distinct
+                require(hidden.isEmpty,
+                  s"$stage uses hidden partitioning (${hidden.mkString(",")}); " +
+                    "append via SnapshotStore.commit, which takes the transform")
+                val parts = stageMs.lastOption.map(_.parts).getOrElse(Nil)
+
+                // Idempotence: ONLY a fully-literal plan (VALUES /
+                // range — every leaf deterministic data the plan
+                // itself carries) gets a content-digest marker, so the
+                // same statement replayed (driver retry, re-run of an
+                // idempotent script) is a no-op. A plan reading any
+                // external source gets a unique marker — its content
+                // can change between runs (a refreshed staging dir),
+                // so plan-equality is NOT data-equality and deduping
+                // on it would silently drop legitimate appends; such
+                // inserts append every time, the standard SQL
+                // semantics. (File-relation hashes are also not
+                // replay-stable, which would break the no-op contract
+                // in the other direction.)
                 val analyzed = data.queryExecution.analyzed
-                val md = java.security.MessageDigest.getInstance("MD5")
-                md.update(analyzed.canonicalized.toString
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                md.update(java.nio.ByteBuffer.allocate(4).putInt(data.semanticHash()).array())
-                analyzed.foreach {
-                  case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-                    lr.data.foreach(r =>
-                      md.update(java.nio.ByteBuffer.allocate(4).putInt(r.hashCode).array()))
-                  case _ => ()
+                val literalOnly = analyzed.collectLeaves().forall {
+                  case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+                  case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+                  case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+                  case _ => false
                 }
-                val digest = md.digest().map(b => f"$b%02x").mkString
-                new SnapshotStore(root)
-                  .commit(data, stage, s"sql-insert-$stage-$digest"): Unit
+                val marker = if (literalOnly) {
+                  // 128-bit md5 over (canonicalized plan string,
+                  // semanticHash, literal row data) — the plan STRING
+                  // alone elides LocalRelation rows (two VALUES
+                  // inserts with different data print alike) and the
+                  // 32-bit semanticHash alone makes a silent
+                  // lost-snapshot collision plausible at ~10^4 inserts
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                  md.update(analyzed.canonicalized.toString
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  md.update(java.nio.ByteBuffer.allocate(4).putInt(data.semanticHash()).array())
+                  analyzed.foreach {
+                    case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+                      lr.data.foreach(r =>
+                        md.update(java.nio.ByteBuffer.allocate(4).putInt(r.hashCode).array()))
+                    case _ => ()
+                  }
+                  s"sql-insert-$stage-" + md.digest().map(b => f"$b%02x").mkString
+                } else s"sql-insert-$stage-${java.util.UUID.randomUUID()}"
+                store.commit(data, stage, marker, partitionBy = parts): Unit
               }
             }
         }

@@ -27,6 +27,22 @@ import org.apache.spark.sql.types.StructType
   * stage-level pipeline resume replay-safe (BASELINE.json north_rule:
   * "resumable from checkpoint with per-partition lineage + metrics").
   */
+object SnapshotStore {
+  private val instances = new java.util.concurrent.ConcurrentHashMap[String, SnapshotStore]()
+
+  /** One store instance per root within a JVM: `commit` serializes
+    * writers on the instance monitor, so ad-hoc construction (the SQL
+    * INSERT path constructs per statement) must resolve to the SAME
+    * instance or two same-JVM writers race `latestId` and clobber each
+    * other's snapshot id. Cross-process writers remain governed by the
+    * atomic-manifest-rename protocol under the store's single-driver
+    * assumption. */
+  def forRoot(root: String): SnapshotStore =
+    instances.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new SnapshotStore(root))
+}
+
 final class SnapshotStore(rootStr: String) {
   private val root: Path = Paths.get(rootStr)
   private val snapsDir: Path = root.resolve("_snapshots")
@@ -34,10 +50,27 @@ final class SnapshotStore(rootStr: String) {
   Files.createDirectories(snapsDir)
   Files.createDirectories(dataDir)
 
+  /** `parts` = the commit's plain `partitionBy` columns (hidden
+    * transforms are in `hidden`): recorded so later writers — the SQL
+    * INSERT path in particular — replicate the stage's hive layout.
+    *
+    * `files` = for PARTITIONED commits, the snapshot's data files
+    * inside the stage-shared layout root (`dir` is then that root).
+    * Spark's directory-based partition discovery cannot serve multiple
+    * per-snapshot partitioned roots (any non-k=v segment between base
+    * and partition dirs raises CONFLICTING_DIRECTORY_STRUCTURES), so
+    * partitioned snapshots follow the real table-format design: one
+    * hive tree per stage, snapshots tracked at FILE granularity in the
+    * manifest — readers pass the selected files plus
+    * `basePath = dir`, which restores partition columns and dir-level
+    * pruning, and as-of reads select manifests exactly as before.
+    * Flat commits keep their own `snap-<id>` dir and empty `files`. */
   final case class Manifest(id: Long, dir: String, stage: String, marker: String,
                             rows: Long, wallMs: Long,
                             metrics: Map[String, Long] = Map.empty,
-                            hidden: Seq[String] = Nil)
+                            hidden: Seq[String] = Nil,
+                            parts: Seq[String] = Nil,
+                            files: Seq[String] = Nil)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -49,10 +82,14 @@ final class SnapshotStore(rootStr: String) {
     val met = m.metrics.toSeq.sorted
       .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val hid = m.hidden.map(q).mkString("[", ",", "]")
-    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"metrics":$met}"""
+    val pts = m.parts.map(q).mkString("[", ",", "]")
+    val fls = m.files.map(q).mkString("[", ",", "]")
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"parts":$pts,"files":$fls,"metrics":$met}"""
   }
 
   private val hiddenRe = """"hidden":\[([^\]]*)\]""".r
+  private val partsRe = """"parts":\[([^\]]*)\]""".r
+  private val filesRe = """"files":\[([^\]]*)\]""".r
   private val strRe = """"((?:[^"\\]|\\.)*)"""".r
 
   /** Inverse of [[q]] for the captured group of [[strRe]]/[[kvRe]] —
@@ -78,6 +115,14 @@ final class SnapshotStore(rootStr: String) {
 
   private def parseHidden(js: String): Seq[String] =
     hiddenRe.findFirstMatchIn(js).toSeq.flatMap(m =>
+      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
+
+  private def parseParts(js: String): Seq[String] =
+    partsRe.findFirstMatchIn(js).toSeq.flatMap(m =>
+      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
+
+  private def parseFiles(js: String): Seq[String] =
+    filesRe.findFirstMatchIn(js).toSeq.flatMap(m =>
       strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
 
   private val metricsRe = """"metrics":\{([^}]*)\}""".r
@@ -108,7 +153,7 @@ final class SnapshotStore(rootStr: String) {
   private def parse(js: String): Manifest = Manifest(
     field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
     field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
-    parseMetrics(js), parseHidden(js))
+    parseMetrics(js), parseHidden(js), parseParts(js), parseFiles(js))
 
   def manifests(): Seq[Manifest] =
     Files.list(snapsDir).iterator().asScala
@@ -152,14 +197,21 @@ final class SnapshotStore(rootStr: String) {
     // them in a safe identifier alphabet so the dir layout and the
     // regex-parsed manifest round-trip exactly (ADVICE r3: ']' in a
     // name would break hiddenRe; escapes would break read()'s drop)
-    hiddenPartitions.map(_._1).foreach { n =>
+    (hiddenPartitions.map(_._1) ++ partitionBy).foreach { n =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"hidden partition name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
+        s"partition column name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
     }
     if (markers().contains(marker)) return None
     val t0 = System.nanoTime()
     val id = latestId.getOrElse(0L) + 1L
-    val dir = dataDir.resolve(s"snap-$id")
+    val partitioned = partitionBy.nonEmpty || hiddenPartitions.nonEmpty
+    // flat snapshots own a snap-<id> dir; partitioned snapshots write
+    // to a temp dir and MOVE their files into the stage-shared hive
+    // tree (see [[Manifest.files]]) — a crash mid-move leaves orphan
+    // files no manifest references, which readers never see (they read
+    // the manifest's file list, never list the shared tree)
+    val dir =
+      if (partitioned) dataDir.resolve(s".tmp-snap-$id") else dataDir.resolve(s"snap-$id")
     val obs = Observation(s"snap-$id-rows")
     // Manifest-level column stats (Iceberg manifests carry per-file
     // min/max; here per-snapshot): observed DURING the write job like
@@ -186,11 +238,34 @@ final class SnapshotStore(rootStr: String) {
         Option(obs.get(k)).collect { case v: Long => k -> v } // null on empty input
       }
     }.toMap
-    writeManifest(Manifest(id, dir.toString, stage, marker, rows,
+    val (finalDir, files) =
+      if (!partitioned) (dir.toString, Nil)
+      else {
+        val stageRoot = dataDir.resolve(s"part-$stage")
+        val moved = Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            // keep the hive fragment (pred=X/...), make the file name
+            // snapshot-unique so resumed rewrites never collide
+            val rel = dir.relativize(f)
+            val target = Option(rel.getParent)
+              .map(stageRoot.resolve).getOrElse(stageRoot)
+              .resolve(s"snap-$id-${f.getFileName}")
+            Files.createDirectories(target.getParent)
+            Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+            target.toString
+          }.toList
+        rmTmpTree(dir)
+        (stageRoot.toString, moved)
+      }
+    writeManifest(Manifest(id, finalDir, stage, marker, rows,
       (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics,
-      hidden = hiddenPartitions.map(_._1)))
+      hidden = hiddenPartitions.map(_._1), parts = partitionBy, files = files))
     Some(id)
   }
+
+  private def rmTmpTree(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
 
   /** Bucketed commit: writes `df` ONCE, `partitionBy(bucketCol)`, and
     * emits one manifest per bucket value pointing at that bucket's
@@ -250,15 +325,38 @@ final class SnapshotStore(rootStr: String) {
     }
   }
 
-  /** Read the table as of snapshot `asOf` (inclusive), or latest. Union
-    * of committed data dirs — Spark reads them as one multi-path scan,
-    * so partition pruning & pushdown apply per file as usual. Zero-row
-    * bucket snapshots (marker-only, no data dir) are skipped.
+  /** Source frames for a selected manifest set: flat snapshot dirs as
+    * ONE multi-path scan, plus one file-list scan per partitioned
+    * stage root (`basePath` = the root restores the partition columns
+    * and dir-level pruning; see [[Manifest.files]]). Zero-row
+    * snapshots (marker-only) contribute nothing. */
+  private def sourceFrames(spark: SparkSession, ms: Seq[Manifest],
+                           schema: Option[StructType],
+                           evolveSchema: Boolean): Seq[DataFrame] = {
+    def reader() = {
+      val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
+      if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
+    }
+    val flatDirs = ms.filter(m => m.parts.isEmpty && m.hidden.isEmpty)
+      .map(_.dir).filter(d => Files.exists(Paths.get(d)))
+    val fileGroups = ms.filter(_.files.nonEmpty).groupBy(_.dir).toSeq.sortBy(_._1)
+    (if (flatDirs.nonEmpty) Seq(reader().parquet(flatDirs: _*)) else Nil) ++
+      fileGroups.map { case (layoutRoot, group) =>
+        reader().option("basePath", layoutRoot).parquet(group.flatMap(_.files): _*)
+      }
+  }
+
+  /** Read the table as of snapshot `asOf` (inclusive), or latest.
+    * Flat snapshots are one multi-path scan; partitioned snapshots are
+    * file-list scans over their stage's shared hive tree (dir-based
+    * discovery cannot union several partitioned roots). Mixed layouts
+    * combine via unionByName.
     *
     * `evolveSchema` = Iceberg-style additive schema evolution: when
     * later commits added columns, merge footers across snapshots so the
     * unified schema is served (older rows read the new columns as
-    * null). Opt-in because the footer-merge pass costs O(files) at
+    * null; across layout groups, missing columns are tolerated too).
+    * Opt-in because the footer-merge pass costs O(files) at
     * read-planning time — a table known to have one schema should not
     * pay it. */
   def read(spark: SparkSession, schema: Option[StructType] = None,
@@ -270,12 +368,10 @@ final class SnapshotStore(rootStr: String) {
       .filter(m => asOf.forall(m.id <= _))
       .filter(m => stage.forall(m.stage == _))
     require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
-    val dirs = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
-    require(dirs.nonEmpty,
+    val frames = sourceFrames(spark, ms, schema, evolveSchema)
+    require(frames.nonEmpty,
       s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")
-    val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
-    val rd = if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
-    val df = rd.parquet(dirs: _*)
+    val df = frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = evolveSchema))
     // hidden partition transforms are a LAYOUT property, not data —
     // serve the original schema unless the caller opts in (e.g. to
     // partition-filter before the scan; the filter then prunes hive
@@ -306,20 +402,20 @@ final class SnapshotStore(rootStr: String) {
         case _ => true
       }
     }
-    val dirs = kept.map(_.dir).filter(d => Files.exists(Paths.get(d)))
-    if (dirs.isEmpty) {
+    val frames = sourceFrames(spark, kept, None, evolveSchema = false)
+    if (frames.isEmpty) {
       // all snapshots pruned (or empty): an empty frame with the
-      // table's schema, read from ANY committed dir's footer — with
+      // table's schema, from ANY selected snapshot's footer — with
       // the SAME hidden-layout-column drop as the non-empty branch,
       // so the result schema does not depend on whether pruning
       // eliminated everything (ADVICE r3)
-      val any = ms.map(_.dir).filter(d => Files.exists(Paths.get(d)))
+      val any = sourceFrames(spark, ms, None, evolveSchema = false)
       require(any.nonEmpty, s"all selected snapshots in $root are empty")
-      val empty = spark.read.parquet(any.head).where(lit(false))
+      val empty = any.head.where(lit(false))
       val hid = ms.flatMap(_.hidden).distinct
       return if (hid.isEmpty) empty else empty.drop(hid: _*)
     }
-    val df = spark.read.parquet(dirs: _*)
+    val df = frames.reduce(_.unionByName(_))
       .where(col(column).try_cast("long").between(lo, hi))
     // same hidden-layout contract as read(): transforms never surface
     val hiddenCols = kept.flatMap(_.hidden).distinct

@@ -97,22 +97,24 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(m(ConnectedComponents.alternating(df, localThreshold = 0L)) == expected)
   }
 
-  // Keep LAST in this suite: setCheckpointDir is SparkContext-global
-  // and has no unset — tests after this one exercise the reliable
-  // branch (correct either way; the localCheckpoint branch is covered
-  // by everything above).
   test("reliable-checkpoint branch: distributed loop with a checkpoint dir set ≡ union-find") {
     import spark.implicits._
+    // setCheckpointDir is SparkContext-global (shared across suites):
+    // restore it afterwards or every later suite silently stops
+    // covering the localCheckpoint branch production uses here.
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("cc-ckpt").toString)
-    val rnd = new scala.util.Random(99)
-    val edges = (0 until 300).map(_ => (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
-    val df = edges.toDF("src", "dst")
-    def m(x: org.apache.spark.sql.DataFrame) =
-      x.collect().map(r => (r.getString(0), r.getString(1))).toMap
-    // forced distributed → every materializeRound goes through the
-    // durable checkpoint path (recoverable after executor loss)
-    assert(m(ConnectedComponents.alternating(df, localThreshold = 0L)) ==
-      m(ConnectedComponents.alternating(df)))
+    try {
+      val rnd = new scala.util.Random(99)
+      val edges = (0 until 300).map(_ => (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+      val df = edges.toDF("src", "dst")
+      def m(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(r => (r.getString(0), r.getString(1))).toMap
+      // forced distributed → every materializeRound goes through the
+      // durable checkpoint path (recoverable after executor loss)
+      assert(m(ConnectedComponents.alternating(df, localThreshold = 0L)) ==
+        m(ConnectedComponents.alternating(df)))
+    } finally org.apache.spark.graftbridge.TestListenerBridge
+      .clearCheckpointDir(spark.sparkContext)
   }
 }

@@ -227,6 +227,56 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(store.read(spark, stage = Some("ev")).count() == 4)
   }
 
+  test("SQL INSERT replicates the stage's partition layout; hidden stages rejected; source-reading inserts append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = freshStore()
+    store.commit(
+      Seq(("E1", "hasType", "PER"), ("E2", "mentionedIn", "doc:1"))
+        .toDF("subj", "pred", "obj"),
+      "triples", "m1", partitionBy = Seq("pred"))
+
+    val cat = s"snapp${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+
+    // hive layout puts partition columns LAST in the served schema
+    assert(spark.table(s"$cat.triples").columns.toSeq == Seq("subj", "obj", "pred"))
+    spark.sql(s"INSERT INTO $cat.triples VALUES ('E3', 'doc:9', 'mentionedIn')")
+    val m2 = store.manifests().last
+    assert(m2.parts == Seq("pred"), m2)
+    // the inserted snapshot's files live in the stage's shared hive
+    // tree under their pred= dir — NOT a flat dir that would poison
+    // partition discovery — and carry the snapshot id in their names
+    assert(m2.files.nonEmpty &&
+      m2.files.forall(f => f.contains("/pred=mentionedIn/") &&
+        f.contains(s"snap-${m2.id}-")), m2.files)
+    // both read paths keep working across old + inserted snapshots
+    assert(spark.sql(s"SELECT * FROM $cat.triples").count() == 3)
+    assert(store.read(spark, stage = Some("triples")).count() == 3)
+    assert(spark.sql(
+      s"SELECT subj FROM $cat.triples WHERE pred = 'mentionedIn' ORDER BY subj")
+      .collect().map(_.getString(0)).toSeq == Seq("E2", "E3"))
+
+    // hidden-partition stage: the transform isn't reconstructible from
+    // SQL — INSERT must be refused, not silently mislaid
+    store.commit(Seq((86410L, "a")).toDF("ts", "v"), "ev", "mh",
+      hiddenPartitions = Seq("day" -> (col("ts").cast("long") / 86400L).cast("long")))
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.ev VALUES (5, 'x')"))
+    assert(e.getMessage != null)
+
+    // a source-reading insert (not literal-only) APPENDS on every run:
+    // plan-equality is not data-equality for external inputs
+    store.commit(Seq((1L, "s")).toDF("k", "v"), "src", "ms")
+    store.commit(Seq((0L, "z")).toDF("k", "v"), "dst", "md")
+    val before = store.manifests().size
+    spark.sql(s"INSERT INTO $cat.dst SELECT * FROM $cat.src")
+    spark.sql(s"INSERT INTO $cat.dst SELECT * FROM $cat.src")
+    assert(store.manifests().size == before + 2)
+    assert(spark.sql(s"SELECT * FROM $cat.dst").count() == 3)
+  }
+
   test("SQL filter on a hidden-partition column prunes partition dirs via the catalog") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -11,4 +11,12 @@ import org.apache.spark.SparkContext
 object TestListenerBridge {
   def drain(sc: SparkContext, timeoutMs: Long = 30000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** `SparkContext.setCheckpointDir` has no public unset; tests that
+    * exercise the reliable-checkpoint branch must restore the shared
+    * context afterwards or every later suite silently loses coverage
+    * of the localCheckpoint branch. `checkpointDir` is
+    * `private[spark] var` — reachable from this package. */
+  def clearCheckpointDir(sc: SparkContext): Unit =
+    sc.checkpointDir = None
 }
