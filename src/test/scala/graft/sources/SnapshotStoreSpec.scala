@@ -277,6 +277,37 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.dst").count() == 3)
   }
 
+  test("partitioned stage: as-of isolation, schema evolution, stats pruning over file manifests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, _) = freshStore()
+    store.commit(Seq(("a", "p1", 1L), ("b", "p2", 2L)).toDF("v", "pc", "k"),
+      "s", "m1", partitionBy = Seq("pc"), statsCols = Seq("k"))
+    store.commit(Seq(("c", "p1", 10L)).toDF("v", "pc", "k"),
+      "s", "m2", partitionBy = Seq("pc"), statsCols = Seq("k"))
+
+    // as-of reads select file lists per manifest — snapshot isolation
+    // holds even though all files share one hive tree
+    assert(store.read(spark, stage = Some("s")).count() == 3)
+    assert(store.read(spark, stage = Some("s"), asOf = Some(1L)).count() == 2)
+    // the partition column round-trips through the shared tree
+    assert(store.read(spark, stage = Some("s"))
+      .where(col("pc") === "p1").count() == 2)
+
+    // manifest stats prune whole partitioned snapshots at planning time
+    assert(store.readPruned(spark, "k", 5L, 20L, stage = Some("s"))
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    assert(store.readPruned(spark, "k", 100L, 200L, stage = Some("s")).count() == 0)
+
+    // additive schema evolution across partitioned snapshots: the
+    // layout-group union serves the unified schema, old rows null
+    store.commit(Seq(("d", "p2", 3L, "extra")).toDF("v", "pc", "k", "x"),
+      "s", "m3", partitionBy = Seq("pc"))
+    val ev = store.read(spark, stage = Some("s"), evolveSchema = true)
+    assert(ev.columns.contains("x") && ev.count() == 4)
+    assert(ev.where(col("x").isNotNull).collect().map(_.getString(0)).toSeq == Seq("d"))
+  }
+
   test("SQL filter on a hidden-partition column prunes partition dirs via the catalog") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
