@@ -57,9 +57,10 @@ object Dedup {
     * the sketches instead (same one-pass write, plus restart-survival
     * — the pair stage then reads a committed stage like the KG
     * pipeline does). Lifetime: the blocks stay until
-    * `spark.catalog.clearCache()` (or session end) — callers running
-    * many pair stages in one session (Bench clears between passes)
-    * release them that way. */
+    * `spark.catalog.clearCache()` / unpersist / session end; repeat
+    * calls over the SAME input re-persist an identical plan, which
+    * Spark's plan-keyed CacheManager dedupes to one entry — no
+    * accumulation across calls. */
   private def materialize(df: DataFrame): DataFrame =
     df.persist(StorageLevel.DISK_ONLY)
 
