@@ -233,6 +233,37 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("ST-KG3: docs re-presented in a LATER batch keep accumulated triples ≡ batch (set semantics)") {
+    import graft.kg.{Corpus, Stages}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Corpus.docs(spark, sf).localCheckpoint(true)
+    val gazSeq = Stages.gazetteer(spark, sf)
+      .select(col("surface"), col("coarse_type"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val anchor = Stages.anchorDict(spark, sf).localCheckpoint(true)
+    val canon = Stages.canonicalMap(spark, sf).localCheckpoint(true)
+    val in = Files.createTempDirectory("stkg3-in").toString
+    val store = new SnapshotStore(Files.createTempDirectory("stkg3-store").toString)
+    // batch 1: all docs; batch 2: a third of them AGAIN (a re-ingested
+    // shard under a NEW batch id — not a marker replay). Triples are
+    // set-semantic, so the duplicate source rows must not change the
+    // accumulated DISTINCT result.
+    writeBatch(in, docs, "1")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 0), "2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamOps.incrementalTriples(stream, gazSeq, anchor,
+      Stages.scoreBoost, canon, store,
+      canonRows = Some(3L * Stages.GazetteerSize)).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(store.manifests().count(_.stage == "triples") == 2)
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val got = tset(store.read(spark, stage = Some("triples")))
+    assert(got.nonEmpty && got == tset(Stages.triples(spark, sf)))
+  }
+
   test("ST6: foreachBatch snapshot sink commits exactly once per batch") {
     val in = Files.createTempDirectory("st6-in").toString
     val storeDir = Files.createTempDirectory("st6-store").toString
