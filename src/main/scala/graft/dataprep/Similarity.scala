@@ -114,6 +114,86 @@ object Similarity {
   def autoPlanes(embeddings: DataFrame, targetBucketPop: Long = 4096L): Int =
     planesFor(embeddings.count(), targetBucketPop)
 
+  /** IVF ANN (the task brief's "IVF … variant as the scale path"): a
+    * coarse k-means quantizer partitions the corpus into `cells`
+    * inverted lists; the query scans ONLY its nearest cell, exact
+    * cosine re-rank inside (nprobe = 1). The quantizer is
+    * DETERMINISTIC INTEGER k-means so the DuckDB oracle replicates
+    * every assignment bit-exactly: components quantized to milli-units
+    * (the LSH quantization), distances are integer Σ(x−μ)², centroids
+    * update by floor division (floor-div = `(s − posmod(s,c)) / c`,
+    * identical in both engines for negative sums), seeds are the first
+    * `cells` vec_ids, `iters` fixed update rounds (no convergence
+    * test — a data-dependent stopping rule would not be
+    * oracle-stable), argmin ties break to the smallest cell id.
+    *
+    * Scale shape: assignment is a scan-side expression against
+    * `cells` BROADCAST centroid vectors (dictionary-sized by
+    * construction — K·dim longs); each update round is one map-side-
+    * combined (cell, component) aggregate whose K·dim result is
+    * collected driver-side — the same dictionary-collect class as the
+    * gazetteer. Nothing here joins corpus×corpus; the candidate set
+    * is one inverted list, n/K expected. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+              cells: Int = 8, iters: Int = 2): DataFrame = {
+    require(cells >= 1 && iters >= 0, s"cells=$cells iters=$iters")
+    val emb = embeddings.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), e =>
+        floor(e.cast("double") * 1000 + lit(0.5)).cast("long")).as("xq"))
+
+    // K × dim longs — dictionary-sized driver state by design
+    def quantRows(df: DataFrame): Array[(Long, Array[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var cent: Array[Array[Long]] = quantRows(
+      emb.where(col("vec_id") < cells).select(col("vec_id"), col("xq")))
+      .sortBy(_._1).map(_._2)
+    require(cent.length == cells,
+      s"seeding needs vec_ids 0..${cells - 1} present, found ${cent.length}")
+
+    // argmin cell id under the current centroids; first-match
+    // array_position = smallest-cell tie-break
+    def cellCol(c: Array[Array[Long]]): Column = {
+      val dists = c.map { mu =>
+        aggregate(
+          zip_with(col("xq"), lit(mu), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
+        .cast("int")
+    }
+
+    for (_ <- 1 to iters) {
+      // one (cell, component) aggregate; count(*) per component is the
+      // cell population. Empty cells keep their previous centroid.
+      val sums = emb.withColumn("cell", cellCol(cent))
+        .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cent = Array.tabulate(cells) { j =>
+        byCell.get(j) match {
+          case Some(rows) =>
+            rows.sortBy(_._2).map { case (_, _, s, c) =>
+              (s - (((s % c) + c) % c)) / c // floor division, both engines
+            }.toArray
+          case None => cent(j)
+        }
+      }
+    }
+
+    val fin = emb.withColumn("cell", cellCol(cent))
+    val q = fin.where(col("vec_id") === queryVecId)
+      .select(col("cell").as("q_cell"), col("embedding").as("q_emb"))
+    fin.where(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), col("cell") === col("q_cell"))
+      .select(col("vec_id"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch ANN (the training-pipeline shape): a query SET joined
     * against the corpus on bucket id — ONE equi-join however many
     * queries there are, then per-query top-k via window rank.

@@ -90,6 +90,64 @@ object DataPrepQueries {
       |  FROM dots GROUP BY vec_id
       |)""".stripMargin
 
+  /** IVF oracle (mirrors [[graft.dataprep.Similarity.ivfTopK]] with
+    * its fixture defaults: 8 cells, 2 update rounds, nprobe 1, k 5,
+    * query vec_id 0): deterministic integer k-means — milli-unit
+    * quantization, integer Σ(x−μ)² distances, floor-div centroids via
+    * the posmod trick (identical for negative sums in both engines),
+    * smallest-cell tie-break. The two update rounds are unrolled as
+    * sequential CTEs (a data-dependent stopping rule would not be
+    * oracle-stable). */
+  private val ivfSql: String = {
+    val cells = 8
+    // one (distances, assignment) round under centroid CTE `cent`
+    def round(cent: String, dName: String, aName: String): String =
+      s"""$dName AS (
+         |  SELECT c.vec_id, s.cell, sum((c.xq - s.mu) * (c.xq - s.mu)) AS d
+         |  FROM comps c JOIN $cent s ON c.i = s.i GROUP BY c.vec_id, s.cell
+         |),
+         |$aName AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM $dName)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    // centroid update from assignment `a`, empty cells keep `prev`
+    def update(a: String, prev: String, sName: String, cName: String): String =
+      s"""$sName AS (
+         |  SELECT a.cell, c.i, sum(c.xq) AS s, count(*) AS cnt
+         |  FROM comps c JOIN $a a ON c.vec_id = a.vec_id GROUP BY a.cell, c.i
+         |),
+         |$cName AS (
+         |  SELECT cell, i, (s - (((s % cnt) + cnt) % cnt)) // cnt AS mu FROM $sName
+         |  UNION ALL
+         |  SELECT cell, i, mu FROM $prev
+         |  WHERE cell NOT IN (SELECT DISTINCT cell FROM $sName)
+         |)""".stripMargin
+    s"""WITH comps AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+       |         CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+       |               generate_subscripts(embedding, 1) AS i FROM embeddings)
+       |),
+       |c0 AS (SELECT vec_id AS cell, i, xq AS mu FROM comps WHERE vec_id < $cells),
+       |${round("c0", "d0", "a0")},
+       |${update("a0", "c0", "s1", "c1")},
+       |${round("c1", "d1", "a1")},
+       |${update("a1", "c1", "s2", "c2")},
+       |${round("c2", "d2", "af")},
+       |qc AS (SELECT cell FROM af WHERE vec_id = 0),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, CAST(a.cell AS INT) AS cell,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
+       |FROM embeddings e
+       |JOIN af a ON e.vec_id = a.vec_id
+       |CROSS JOIN qc CROSS JOIN q
+       |WHERE a.cell = qc.cell AND e.vec_id <> 0
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---------- dedup ----------
@@ -338,6 +396,9 @@ object DataPrepQueries {
         val emb = Tables.embeddings(s, d)
         Similarity.recallAtK(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
       }),
+
+    "ann_ivf" -> Q(ivfSql)(
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
 
     // Radius-2 variant: measures what the second probe ring buys. The
     // probe set is the full Hamming-≤2 ball (1 + 6 + C(6,2) = 22

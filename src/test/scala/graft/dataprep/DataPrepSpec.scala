@@ -151,6 +151,21 @@ class SimilaritySpec extends SparkSuite {
     lsh.foreach { case (id, _, cos) => assert(brute(id) == cos) }
   }
 
+  test("IVF: nprobe-1 candidates share the query's cell; scores exact; deterministic") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, queryVecId = 0L, k = 10, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_._2).distinct.length == 1) // one inverted list scanned
+    ivf.foreach { case (id, _, cos) => assert(brute(id) == cos) } // exact re-rank
+    assert(ivf.map(_._3).toSeq == ivf.map(_._3).sorted.reverse.toSeq)
+    // integer k-means + fixed rounds + tie-breaks ⇒ bit-determinism
+    val again = Similarity.ivfTopK(emb, queryVecId = 0L, k = 10, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(ivf.toSeq == again.toSeq)
+  }
+
   test("batch ANN is one bucket equi-join with per-query top-k") {
     val queries = emb.where(col("vec_id") % 40 === 0) // 5 queries
     val res = Similarity.lshTopKBatch(emb, queries, k = 3)
