@@ -151,12 +151,16 @@ object Similarity {
       s"seeding needs vec_ids 0..${cells - 1} present, found ${cent.length}")
 
     // argmin cell id under the current centroids; first-match
-    // array_position = smallest-cell tie-break
+    // array_position = smallest-cell tie-break. Σ(x−μ)² = |x|² −
+    // 2x·μ + |μ|² and |x|² is constant under the argmin, so score
+    // only −2x·μ + |μ|² (|μ|² folded driver-side) — one array pass
+    // per cell instead of two, same integer ties exactly.
     def cellCol(c: Array[Array[Long]]): Column = {
       val dists = c.map { mu =>
+        val muSq = mu.map(v => v * v).sum
         aggregate(
-          zip_with(col("xq"), lit(mu), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+          zip_with(col("xq"), lit(mu), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x) * lit(-2L) + lit(muSq)
       }
       (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
         .cast("int")
