@@ -41,7 +41,7 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           bucketsPerScan: Int = NumBuckets,
           corpusPath: Option[String] = None): SnapshotStore = {
-    val store = new SnapshotStore(outDir)
+    val store = SnapshotStore.forRoot(outDir)
     val done = store.markers()
     def corpus(): DataFrame =
       corpusPath.map(spark.read.parquet(_)).getOrElse(Corpus.docs(spark, sfDir))

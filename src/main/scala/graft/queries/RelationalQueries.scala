@@ -44,7 +44,7 @@ object RelationalQueries {
         // store, read it back as-of latest (S2/S3, SURVEY.md §2.1).
         val dir = tmpDir(s"snap-${d.replaceAll("[^a-zA-Z0-9.]", "_")}")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-        val store = new SnapshotStore(dir)
+        val store = SnapshotStore.forRoot(dir)
         store.commit(Tables.nation(s, d), stage = "nation", marker = s"nation@$d")
         store.read(s, Some(Tables.nationSchema))
       }),

@@ -76,20 +76,23 @@ class GraftCatalog extends TableCatalog {
       .map(s => Identifier.of(namespace, s)).toArray
 
   private def tableFor(ident: Identifier, asOf: Option[Long]): Table = {
-    val ms = store.manifests()
+    val st = store // stable identifier: Manifest is path-dependent
+    val ms = st.manifests()
       .filter(_.stage == ident.name)
       .filter(m => asOf.forall(m.id <= _))
-    // flat snapshots → their dirs as roots; partitioned snapshots →
-    // the manifests' FILE lists with basePath = the stage's shared
-    // hive root (directory discovery cannot union several partitioned
-    // roots; see SnapshotStore.Manifest.files)
-    val fileMs = ms.filter(_.files.nonEmpty)
-    val flatDirs = ms.filter(m => m.parts.isEmpty && m.hidden.isEmpty)
-      .map(_.dir)
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-    if (fileMs.nonEmpty && flatDirs.nonEmpty) throw new IllegalStateException(
-      s"$catName.${ident.name}: stage mixes flat and partitioned snapshots — " +
-        "one scan cannot serve both layouts; read via SnapshotStore.read " +
+    // Layout classification SHARED with SnapshotStore.read (one rule
+    // set — the SQL surface and the programmatic one must agree on
+    // which snapshots they serve): flat dirs as roots; partitioned
+    // snapshots as the manifests' FILE lists with basePath = the
+    // stage's shared hive root (directory discovery cannot union
+    // several partitioned roots; see SnapshotStore.Manifest.files);
+    // pre-file-manifest partitioned dirs count as a legacy group.
+    val (flatDirs, legacyDirs, fileGroups) = st.layoutGroups(ms)
+    val groupCount =
+      (if (flatDirs.nonEmpty) 1 else 0) + legacyDirs.size + fileGroups.size
+    if (groupCount > 1) throw new IllegalStateException(
+      s"$catName.${ident.name}: stage spans ${groupCount} incompatible layouts — " +
+        "one scan cannot serve them; read via SnapshotStore.read " +
         "(which unions layout groups) or keep the stage's partition spec stable")
     // mergeSchema: a stage whose later snapshots added columns must
     // serve the unified schema (matching SnapshotStore.read(
@@ -98,12 +101,15 @@ class GraftCatalog extends TableCatalog {
     // later-added columns (ADVICE r3). Costs a footer-merge pass at
     // planning time, the price SnapshotStore makes opt-in; the SQL
     // surface favors correctness over that planning cost.
-    val (paths, options) =
-      if (fileMs.nonEmpty) {
-        val roots = fileMs.map(_.dir).distinct
-        (fileMs.flatMap(_.files).toList,
-          java.util.Map.of("mergeSchema", "true", "basePath", roots.head))
-      } else (flatDirs.toList, java.util.Map.of("mergeSchema", "true"))
+    val pathsAndOpts: (List[String], java.util.Map[String, String]) =
+      fileGroups.headOption match {
+        case Some((layoutRoot, group)) =>
+          (group.flatMap(_.files).toList,
+            java.util.Map.of("mergeSchema", "true", "basePath", layoutRoot))
+        case None =>
+          ((flatDirs ++ legacyDirs).toList, java.util.Map.of("mergeSchema", "true"))
+      }
+    val (paths, options) = pathsAndOpts
     if (paths.isEmpty) throw new NoSuchTableException(ident)
     val delegate = ParquetTable(s"$catName.${ident.name}", SparkSession.active,
       new CaseInsensitiveStringMap(options), paths, None, classOf[ParquetFileFormat])
@@ -200,12 +206,24 @@ object GraftCatalog {
                 // replay-stable, which would break the no-op contract
                 // in the other direction.)
                 val analyzed = data.queryExecution.analyzed
-                val literalOnly = analyzed.collectLeaves().forall {
+                val literalLeaves = analyzed.collectLeaves().forall {
                   case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
                   case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
                   case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
                   case _ => false
                 }
+                // literal LEAVES are not enough: current_date() over
+                // OneRowRelation canonicalizes identically across days,
+                // so deduping it would silently drop tomorrow's row —
+                // any time-dependent or non-deterministic expression
+                // forces append semantics too
+                val timeFree = !analyzed.exists(_.expressions.exists(_.exists {
+                  case e if !e.deterministic => true
+                  case e => Set("current_date", "current_timestamp", "now",
+                    "localtimestamp", "current_timezone", "localdate")
+                    .contains(e.prettyName)
+                }))
+                val literalOnly = literalLeaves && timeFree
                 val marker = if (literalOnly) {
                   // 128-bit md5 over (canonicalized plan string,
                   // semanticHash, literal row data) — the plan STRING

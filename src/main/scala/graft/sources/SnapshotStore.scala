@@ -43,7 +43,9 @@ object SnapshotStore {
       _ => new SnapshotStore(root))
 }
 
-final class SnapshotStore(rootStr: String) {
+// constructor private: every same-JVM handle on a root MUST be the same
+// instance (forRoot) or commit's monitor serializes nothing
+final class SnapshotStore private (rootStr: String) {
   private val root: Path = Paths.get(rootStr)
   private val snapsDir: Path = root.resolve("_snapshots")
   private val dataDir: Path = root.resolve("data")
@@ -87,10 +89,29 @@ final class SnapshotStore(rootStr: String) {
     s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"parts":$pts,"files":$fls,"metrics":$met}"""
   }
 
-  private val hiddenRe = """"hidden":\[([^\]]*)\]""".r
-  private val partsRe = """"parts":\[([^\]]*)\]""".r
-  private val filesRe = """"files":\[([^\]]*)\]""".r
   private val strRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  /** Body of the JSON string-array at `key`, found with a quote-aware
+    * scan — a regex bounded by the first ']' would truncate on a ']'
+    * INSIDE a recorded path (e.g. a store root named `run[2026]`),
+    * silently dropping the tail of a file list. */
+  private def arrayBody(js: String, key: String): Option[String] = {
+    val tag = "\"" + key + "\":["
+    val start = js.indexOf(tag)
+    if (start < 0) return None
+    val from = start + tag.length
+    var i = from; var inStr = false
+    while (i < js.length) {
+      val c = js.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == ']') return Some(js.substring(from, i))
+      i += 1
+    }
+    None
+  }
 
   /** Inverse of [[q]] for the captured group of [[strRe]]/[[kvRe]] —
     * without it a name containing a quote or backslash reads back
@@ -113,17 +134,13 @@ final class SnapshotStore(rootStr: String) {
     sb.toString
   }
 
-  private def parseHidden(js: String): Seq[String] =
-    hiddenRe.findFirstMatchIn(js).toSeq.flatMap(m =>
-      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
+  private def parseStrArray(js: String, key: String): Seq[String] =
+    arrayBody(js, key).toSeq.flatMap(b =>
+      strRe.findAllMatchIn(b).map(g => unescape(g.group(1))).toSeq)
 
-  private def parseParts(js: String): Seq[String] =
-    partsRe.findFirstMatchIn(js).toSeq.flatMap(m =>
-      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
-
-  private def parseFiles(js: String): Seq[String] =
-    filesRe.findFirstMatchIn(js).toSeq.flatMap(m =>
-      strRe.findAllMatchIn(m.group(1)).map(g => unescape(g.group(1))).toSeq)
+  private def parseHidden(js: String): Seq[String] = parseStrArray(js, "hidden")
+  private def parseParts(js: String): Seq[String] = parseStrArray(js, "parts")
+  private def parseFiles(js: String): Seq[String] = parseStrArray(js, "files")
 
   private val metricsRe = """"metrics":\{([^}]*)\}""".r
   private val kvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
@@ -201,9 +218,10 @@ final class SnapshotStore(rootStr: String) {
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"partition column name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
     }
-    if (markers().contains(marker)) return None
+    val existing = manifests() // one listing: marker check AND next id
+    if (existing.exists(_.marker == marker)) return None
     val t0 = System.nanoTime()
-    val id = latestId.getOrElse(0L) + 1L
+    val id = existing.lastOption.map(_.id).getOrElse(0L) + 1L
     val partitioned = partitionBy.nonEmpty || hiddenPartitions.nonEmpty
     // flat snapshots own a snap-<id> dir; partitioned snapshots write
     // to a temp dir and MOVE their files into the stage-shared hive
@@ -242,7 +260,8 @@ final class SnapshotStore(rootStr: String) {
       if (!partitioned) (dir.toString, Nil)
       else {
         val stageRoot = dataDir.resolve(s"part-$stage")
-        val moved = Files.walk(dir).iterator().asScala
+        val walk = Files.walk(dir)
+        val moved = try walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
           .map { f =>
             // keep the hive fragment (pred=X/...), make the file name
@@ -255,6 +274,7 @@ final class SnapshotStore(rootStr: String) {
             Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
             target.toString
           }.toList
+        finally walk.close() // release the dir handles the stream holds
         rmTmpTree(dir)
         (stageRoot.toString, moved)
       }
@@ -264,8 +284,11 @@ final class SnapshotStore(rootStr: String) {
     Some(id)
   }
 
-  private def rmTmpTree(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+  private def rmTmpTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
 
   /** Bucketed commit: writes `df` ONCE, `partitionBy(bucketCol)`, and
     * emits one manifest per bucket value pointing at that bucket's
@@ -325,11 +348,31 @@ final class SnapshotStore(rootStr: String) {
     }
   }
 
-  /** Source frames for a selected manifest set: flat snapshot dirs as
-    * ONE multi-path scan, plus one file-list scan per partitioned
-    * stage root (`basePath` = the root restores the partition columns
-    * and dir-level pruning; see [[Manifest.files]]). Zero-row
-    * snapshots (marker-only) contribute nothing. */
+  /** Layout classification shared by [[read]]/[[readPruned]] and the
+    * V2 catalog (one set of rules, or the SQL surface and the
+    * programmatic one diverge on which snapshots they serve):
+    * (flat dirs — one multi-path scan; legacy per-snapshot partitioned
+    * dirs from pre-file-manifest commits — each its own single-root
+    * scan; file groups — one file-list scan per stage layout root).
+    * Zero-row snapshots (marker-only) contribute nothing. */
+  private[sources] def layoutGroups(ms: Seq[Manifest])
+      : (Seq[String], Seq[String], Seq[(String, Seq[Manifest])]) = {
+    def exists(d: String) = Files.exists(Paths.get(d))
+    val flatDirs = ms.filter(m => m.parts.isEmpty && m.hidden.isEmpty)
+      .map(_.dir).filter(exists)
+    // pre-file-manifest partitioned snapshots: layout recorded, no
+    // file list, own snap-<id> dir (rows > 0 excludes the NEW zero-row
+    // partitioned commits, whose dir is the shared root)
+    val legacyDirs = ms.filter(m =>
+        m.files.isEmpty && (m.parts.nonEmpty || m.hidden.nonEmpty) && m.rows > 0)
+      .map(_.dir).filter(exists).distinct
+    val fileGroups = ms.filter(_.files.nonEmpty).groupBy(_.dir).toSeq.sortBy(_._1)
+    (flatDirs, legacyDirs, fileGroups)
+  }
+
+  /** Source frames for a selected manifest set (see [[layoutGroups]];
+    * `basePath` on file groups restores partition columns and
+    * dir-level pruning — [[Manifest.files]]). */
   private def sourceFrames(spark: SparkSession, ms: Seq[Manifest],
                            schema: Option[StructType],
                            evolveSchema: Boolean): Seq[DataFrame] = {
@@ -337,10 +380,9 @@ final class SnapshotStore(rootStr: String) {
       val rd0 = schema.map(spark.read.schema).getOrElse(spark.read)
       if (evolveSchema) rd0.option("mergeSchema", "true") else rd0
     }
-    val flatDirs = ms.filter(m => m.parts.isEmpty && m.hidden.isEmpty)
-      .map(_.dir).filter(d => Files.exists(Paths.get(d)))
-    val fileGroups = ms.filter(_.files.nonEmpty).groupBy(_.dir).toSeq.sortBy(_._1)
+    val (flatDirs, legacyDirs, fileGroups) = layoutGroups(ms)
     (if (flatDirs.nonEmpty) Seq(reader().parquet(flatDirs: _*)) else Nil) ++
+      legacyDirs.map(d => reader().parquet(d)) ++
       fileGroups.map { case (layoutRoot, group) =>
         reader().option("basePath", layoutRoot).parquet(group.flatMap(_.files): _*)
       }

@@ -45,7 +45,7 @@ class PipelineSpec extends SparkSuite {
 
   test("crash-resume: half-done mention buckets are not recomputed, result identical") {
     val out = Files.createTempDirectory("pipe-resume").toString
-    val store = new graft.sources.SnapshotStore(out)
+    val store = graft.sources.SnapshotStore.forRoot(out)
 
     // simulate a run that died after committing buckets 0..3 (one
     // grouped scan, e.g. bucketsPerScan=4, crashed before the second)

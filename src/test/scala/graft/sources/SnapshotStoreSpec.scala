@@ -11,7 +11,7 @@ class SnapshotStoreSpec extends SparkSuite {
 
   private def freshStore(): (SnapshotStore, String) = {
     val dir = Files.createTempDirectory("snapstore").toString
-    (new SnapshotStore(dir), dir)
+    (SnapshotStore.forRoot(dir), dir)
   }
 
   test("append commits, as-of reads, lineage") {
@@ -275,6 +275,37 @@ class SnapshotStoreSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $cat.dst SELECT * FROM $cat.src")
     assert(store.manifests().size == before + 2)
     assert(spark.sql(s"SELECT * FROM $cat.dst").count() == 3)
+
+    // time-dependent literals also append every run: current_date()
+    // over a literal leaf canonicalizes identically across days, so
+    // deduping it would silently drop tomorrow's row
+    store.commit(Seq(("seed", "2020-01-01")).toDF("v", "d"), "log", "ml")
+    spark.sql(s"INSERT INTO $cat.log VALUES ('deploy', CAST(current_date() AS STRING))")
+    spark.sql(s"INSERT INTO $cat.log VALUES ('deploy', CAST(current_date() AS STRING))")
+    assert(spark.sql(s"SELECT * FROM $cat.log").count() == 3)
+  }
+
+  test("pre-file-manifest partitioned snapshots (legacy layout) still serve their rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = freshStore()
+    // hand-craft a pre-r4 manifest: partitioned data in its OWN
+    // snap-<id> dir, layout recorded, NO files list — the upgrade must
+    // keep reading it (durable stores survive code upgrades)
+    val legacyDir = java.nio.file.Paths.get(dir, "data", "snap-1")
+    Seq((86410L, "a"), (86400L * 2 + 5, "b")).toDF("ts", "v")
+      .withColumn("day", (col("ts") / 86400L).cast("long"))
+      .write.partitionBy("day").parquet(legacyDir.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_snapshots", "1.json"),
+      s"""{"id":1,"dir":"$legacyDir","stage":"ev","marker":"m1","rows":2,"wall_ms":1,"hidden":["day"],"metrics":{}}""")
+    // plus a NEW-format partitioned commit on the same stage
+    store.commit(Seq((86400L * 3 + 9, "c")).toDF("ts", "v"), "ev", "m2",
+      hiddenPartitions = Seq("day" -> (col("ts") / 86400L).cast("long")))
+    val rd = store.read(spark, stage = Some("ev"))
+    assert(rd.columns.toSet == Set("ts", "v"), rd.columns.toSeq)
+    assert(rd.collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
+    assert(store.read(spark, stage = Some("ev"), asOf = Some(1L)).count() == 2)
   }
 
   test("partitioned stage: as-of isolation, schema evolution, stats pruning over file manifests") {

@@ -212,7 +212,7 @@ class StreamingSpec extends SparkSuite {
     val canon = Stages.canonicalMap(spark, sf).localCheckpoint(true)
     val in = Files.createTempDirectory("stkg2-in").toString
     val storeDir = Files.createTempDirectory("stkg2-store").toString
-    val store = new SnapshotStore(storeDir)
+    val store = SnapshotStore.forRoot(storeDir)
     // three micro-batches, docs whole within each
     writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 0), "1")
     writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 1), "2")
@@ -243,7 +243,7 @@ class StreamingSpec extends SparkSuite {
     val anchor = Stages.anchorDict(spark, sf).localCheckpoint(true)
     val canon = Stages.canonicalMap(spark, sf).localCheckpoint(true)
     val in = Files.createTempDirectory("stkg3-in").toString
-    val store = new SnapshotStore(Files.createTempDirectory("stkg3-store").toString)
+    val store = SnapshotStore.forRoot(Files.createTempDirectory("stkg3-store").toString)
     // batch 1: all docs; batch 2: a third of them AGAIN (a re-ingested
     // shard under a NEW batch id — not a marker replay). Triples are
     // set-semantic, so the duplicate source rows must not change the
@@ -267,7 +267,7 @@ class StreamingSpec extends SparkSuite {
   test("ST6: foreachBatch snapshot sink commits exactly once per batch") {
     val in = Files.createTempDirectory("st6-in").toString
     val storeDir = Files.createTempDirectory("st6-store").toString
-    val store = new SnapshotStore(storeDir)
+    val store = SnapshotStore.forRoot(storeDir)
     writeBatch(in, eventRows(Seq(
       (1L, ts(1), 1L, "a", 1.0), (2L, ts(2), 2L, "b", 1.0))), "1")
     writeBatch(in, eventRows(Seq((3L, ts(3), 3L, "c", 1.0))), "2")
