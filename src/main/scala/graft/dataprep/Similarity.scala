@@ -136,6 +136,21 @@ object Similarity {
     * is one inverted list, n/K expected. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5,
               cells: Int = 8, iters: Int = 2): DataFrame = {
+    val fin = ivfAssign(embeddings, cells, iters)
+    val q = fin.where(col("vec_id") === queryVecId)
+      .select(col("cell").as("q_cell"), col("embedding").as("q_emb"))
+    fin.where(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), col("cell") === col("q_cell"))
+      .select(col("vec_id"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Trains the deterministic integer k-means quantizer and returns
+    * (vec_id, embedding, xq, cell) — the corpus with its inverted-list
+    * assignment. See [[ivfTopK]] for the determinism contract. */
+  private def ivfAssign(embeddings: DataFrame, cells: Int, iters: Int): DataFrame = {
     require(cells >= 1 && iters >= 0, s"cells=$cells iters=$iters")
     val emb = embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"), e =>
@@ -187,15 +202,36 @@ object Similarity {
       }
     }
 
-    val fin = emb.withColumn("cell", cellCol(cent))
-    val q = fin.where(col("vec_id") === queryVecId)
-      .select(col("cell").as("q_cell"), col("embedding").as("q_emb"))
-    fin.where(col("vec_id") =!= queryVecId)
-      .join(broadcast(q), col("cell") === col("q_cell"))
-      .select(col("vec_id"), col("cell"),
+    emb.withColumn("cell", cellCol(cent))
+  }
+
+  /** Batch IVF (the training-pipeline shape, symmetric with
+    * [[lshTopKBatch]]): the query SET joins the corpus on cell id —
+    * ONE equi-join however many queries, per-query top-k via window
+    * rank. The quantizer is trained once ([[ivfTopK]]'s deterministic
+    * integer k-means — same seeds, rounds, tie-breaks, so the oracle
+    * shares the assignment CTEs verbatim); queries assign through the
+    * same final centroids. `queryRows` gates the probe-side broadcast
+    * exactly like the LSH batch path ([[BroadcastProbeMaxRows]]). */
+  def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
+                   cells: Int = 8, iters: Int = 2,
+                   queryRows: Option[Long] = None): DataFrame = {
+    val assigned = ivfAssign(embeddings, cells, iters)
+    val probes = assigned
+      .join(queries.select(col("vec_id").as("q_id")), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"), col("cell").as("probe"))
+    val probeSide =
+      if (queryRows.exists(_ <= BroadcastProbeMaxRows)) broadcast(probes)
+      else probes
+    val ranked = assigned
+      .join(probeSide, col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+    ranked.where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
   }
 
   /** Batch ANN (the training-pipeline shape): a query SET joined

@@ -135,7 +135,13 @@ object DataPrepQueries {
        |${update("a0", "c0", "s1", "c1")},
        |${round("c1", "d1", "a1")},
        |${update("a1", "c1", "s2", "c2")},
-       |${round("c2", "d2", "af")},
+       |${round("c2", "d2", "af")}""".stripMargin
+  }
+
+  /** Single-query IVF key SQL: the shared quantizer CTEs + nprobe-1
+    * top-k for query vec_id 0. */
+  private val ivfTopKSql: String =
+    s"""$ivfSql,
        |qc AS (SELECT cell FROM af WHERE vec_id = 0),
        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
        |SELECT e.vec_id, CAST(a.cell AS INT) AS cell,
@@ -146,7 +152,26 @@ object DataPrepQueries {
        |CROSS JOIN qc CROSS JOIN q
        |WHERE a.cell = qc.cell AND e.vec_id <> 0
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
-  }
+
+  /** Batch IVF key SQL: same quantizer, query set = vec_id % 50 = 0,
+    * ONE cell equi-join, per-query top-3 (mirrors
+    * [[graft.dataprep.Similarity.ivfTopKBatch]]). */
+  private val ivfBatchSql: String =
+    s"""$ivfSql,
+       |qs AS (SELECT a.vec_id AS q_id, e.embedding AS q_emb, a.cell AS probe
+       |       FROM af a JOIN embeddings e ON a.vec_id = e.vec_id
+       |       WHERE a.vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
+       |  FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
+       |  JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id
+       |)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
+       |WHERE rn <= 3""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -397,8 +422,14 @@ object DataPrepQueries {
         Similarity.recallAtK(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
       }),
 
-    "ann_ivf" -> Q(ivfSql)(
+    "ann_ivf" -> Q(ivfTopKSql)(
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+
+    "ann_ivf_batch" -> Q(ivfBatchSql)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKBatch(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      }),
 
     // Radius-2 variant: measures what the second probe ring buys. The
     // probe set is the full Hamming-≤2 ball (1 + 6 + C(6,2) = 22
