@@ -136,7 +136,7 @@ object Similarity {
     * is one inverted list, n/K expected. */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 5,
               cells: Int = 8, iters: Int = 2): DataFrame = {
-    val fin = ivfAssign(embeddings, cells, iters)
+    val (fin, _) = ivfModel(embeddings, cells, iters)
     val q = fin.where(col("vec_id") === queryVecId)
       .select(col("cell").as("q_cell"), col("embedding").as("q_emb"))
     fin.where(col("vec_id") =!= queryVecId)
@@ -147,10 +147,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Trains the deterministic integer k-means quantizer and returns
-    * (vec_id, embedding, xq, cell) — the corpus with its inverted-list
-    * assignment. See [[ivfTopK]] for the determinism contract. */
-  private def ivfAssign(embeddings: DataFrame, cells: Int, iters: Int): DataFrame = {
+  /** Trains the deterministic integer k-means quantizer; returns the
+    * corpus with its inverted-list assignment (vec_id, embedding, xq,
+    * cell) AND the assignment function over any quantized-vector
+    * column — so query frames that are NOT part of the corpus assign
+    * through the same final centroids. See [[ivfTopK]] for the
+    * determinism contract. */
+  private def ivfModel(embeddings: DataFrame, cells: Int,
+                       iters: Int): (DataFrame, Column => Column) = {
     require(cells >= 1 && iters >= 0, s"cells=$cells iters=$iters")
     val emb = embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"), e =>
@@ -170,16 +174,17 @@ object Similarity {
     // 2x·μ + |μ|² and |x|² is constant under the argmin, so score
     // only −2x·μ + |μ|² (|μ|² folded driver-side) — one array pass
     // per cell instead of two, same integer ties exactly.
-    def cellCol(c: Array[Array[Long]]): Column = {
+    def cellFor(xq: Column, c: Array[Array[Long]]): Column = {
       val dists = c.map { mu =>
         val muSq = mu.map(v => v * v).sum
         aggregate(
-          zip_with(col("xq"), lit(mu), (a, b) => a * b),
+          zip_with(xq, lit(mu), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x) * lit(-2L) + lit(muSq)
       }
       (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
         .cast("int")
     }
+    def cellCol(c: Array[Array[Long]]): Column = cellFor(col("xq"), c)
 
     for (_ <- 1 to iters) {
       // one (cell, component) aggregate; count(*) per component is the
@@ -202,7 +207,8 @@ object Similarity {
       }
     }
 
-    emb.withColumn("cell", cellCol(cent))
+    val finalCent = cent
+    (emb.withColumn("cell", cellCol(finalCent)), xq => cellFor(xq, finalCent))
   }
 
   /** Batch IVF (the training-pipeline shape, symmetric with
@@ -211,27 +217,22 @@ object Similarity {
     * rank. The quantizer is trained once ([[ivfTopK]]'s deterministic
     * integer k-means — same seeds, rounds, tie-breaks, so the oracle
     * shares the assignment CTEs verbatim); queries assign through the
-    * same final centroids. `queryRows` gates the probe-side broadcast
-    * exactly like the LSH batch path ([[BroadcastProbeMaxRows]]). */
+    * same final centroids — the query frame need NOT be part of the
+    * corpus (its embeddings are quantized and assigned directly).
+    * `queryRows` gates the probe-side broadcast exactly like the LSH
+    * batch path ([[BroadcastProbeMaxRows]]); the shared [[rankTopK]]
+    * tail keeps the tie-break/rounding contract in one place. */
   def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
                    cells: Int = 8, iters: Int = 2,
                    queryRows: Option[Long] = None): DataFrame = {
-    val assigned = ivfAssign(embeddings, cells, iters)
-    val probes = assigned
-      .join(queries.select(col("vec_id").as("q_id")), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("embedding").as("q_emb"), col("cell").as("probe"))
-    val probeSide =
-      if (queryRows.exists(_ <= BroadcastProbeMaxRows)) broadcast(probes)
-      else probes
-    val ranked = assigned
-      .join(probeSide, col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-    ranked.where(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rn").cast("int").as("rn"))
+    val (assigned, assignFor) = ivfModel(embeddings, cells, iters)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", assignFor(
+        transform(col("q_emb"), e =>
+          floor(e.cast("double") * 1000 + lit(0.5)).cast("long"))))
+    rankTopK(assigned.withColumnRenamed("cell", "bucket"), probes, k,
+      probeRows = queryRows)
   }
 
   /** Batch ANN (the training-pipeline shape): a query SET joined

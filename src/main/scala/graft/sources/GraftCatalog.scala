@@ -206,23 +206,28 @@ object GraftCatalog {
                 // replay-stable, which would break the no-op contract
                 // in the other direction.)
                 val analyzed = data.queryExecution.analyzed
-                val literalLeaves = analyzed.collectLeaves().forall {
+                // subqueriesAll: collectLeaves and expression traversal
+                // both stop at subquery boundaries, so (SELECT
+                // current_date()) or a scalar subquery over an external
+                // table would otherwise slip past both checks
+                val plans = analyzed +: analyzed.subqueriesAll
+                val literalLeaves = plans.forall(_.collectLeaves().forall {
                   case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
                   case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
                   case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
                   case _ => false
-                }
+                })
                 // literal LEAVES are not enough: current_date() over
                 // OneRowRelation canonicalizes identically across days,
                 // so deduping it would silently drop tomorrow's row —
                 // any time-dependent or non-deterministic expression
                 // forces append semantics too
-                val timeFree = !analyzed.exists(_.expressions.exists(_.exists {
+                val timeFree = !plans.exists(_.exists(_.expressions.exists(_.exists {
                   case e if !e.deterministic => true
                   case e => Set("current_date", "current_timestamp", "now",
                     "localtimestamp", "current_timezone", "localdate")
                     .contains(e.prettyName)
-                }))
+                })))
                 val literalOnly = literalLeaves && timeFree
                 val marker = if (literalOnly) {
                   // 128-bit md5 over (canonicalized plan string,

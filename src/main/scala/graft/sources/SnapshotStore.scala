@@ -172,17 +172,25 @@ final class SnapshotStore private (rootStr: String) {
     field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
     parseMetrics(js), parseHidden(js), parseParts(js), parseFiles(js))
 
-  def manifests(): Seq[Manifest] =
-    Files.list(snapsDir).iterator().asScala
+  def manifests(): Seq[Manifest] = {
+    // a cached instance (forRoot) can outlive its directories — e.g. a
+    // bench fixture that wipes the store between passes; a missing
+    // _snapshots dir IS an empty store, not an error
+    if (!Files.isDirectory(snapsDir)) return Nil
+    val list = Files.list(snapsDir)
+    try list.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .map(p => parse(Files.readString(p)))
       .toSeq.sortBy(_.id)
+    finally list.close()
+  }
 
   def latestId: Option[Long] = manifests().lastOption.map(_.id)
 
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
   private def writeManifest(m: Manifest): Unit = {
+    Files.createDirectories(snapsDir) // recreate if wiped since construction
     val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".json")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapsDir.resolve(s"${m.id}.json"), StandardCopyOption.ATOMIC_MOVE)
@@ -228,6 +236,7 @@ final class SnapshotStore private (rootStr: String) {
     // tree (see [[Manifest.files]]) — a crash mid-move leaves orphan
     // files no manifest references, which readers never see (they read
     // the manifest's file list, never list the shared tree)
+    Files.createDirectories(dataDir) // recreate if wiped since construction
     val dir =
       if (partitioned) dataDir.resolve(s".tmp-snap-$id") else dataDir.resolve(s"snap-$id")
     val obs = Observation(s"snap-$id-rows")
@@ -303,11 +312,12 @@ final class SnapshotStore private (rootStr: String) {
   def commitBuckets(df: DataFrame, stage: String, bucketCol: String,
                     buckets: Seq[Int], markerFor: Int => String,
                     statsCol: Option[String] = None): Seq[Long] = synchronized {
-    val done = markers()
+    val existing = manifests() // one listing: marker check AND next id
+    val done = existing.map(_.marker).toSet
     val todo = buckets.filterNot(b => done.contains(markerFor(b)))
     if (todo.isEmpty) return Nil
     val t0 = System.nanoTime()
-    val baseId = latestId.getOrElse(0L)
+    val baseId = existing.lastOption.map(_.id).getOrElse(0L)
     val dir = dataDir.resolve(s"snap-${baseId + 1}")
     val obs = Observation(s"snap-${baseId + 1}-rows")
     // Per-bucket lineage from ONE observe on the write job: row count,

@@ -285,6 +285,22 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.log").count() == 3)
   }
 
+  test("cached store instance survives an external wipe of its directories") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "s", "m1")
+    assert(store.manifests().size == 1)
+    // a fixture (e.g. a bench pass) deletes the whole store dir while
+    // the JVM-cached forRoot instance lives on: a missing _snapshots
+    // dir is an EMPTY store, and the next commit recreates the layout
+    // — before this fix, manifests() threw NoSuchFileException and a
+    // multi-pass bench recorded bogus fast-fail times
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    assert(store.manifests().isEmpty)
+    assert(store.commit(Seq((2L, "b")).toDF("k", "v"), "s", "m1") == Some(1L))
+    assert(store.read(spark).collect().map(_.getString(1)).toSeq == Seq("b"))
+  }
+
   test("pre-file-manifest partitioned snapshots (legacy layout) still serve their rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
