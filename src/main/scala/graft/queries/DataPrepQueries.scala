@@ -95,9 +95,11 @@ object DataPrepQueries {
     * query vec_id 0): deterministic integer k-means — milli-unit
     * quantization, integer Σ(x−μ)² distances, floor-div centroids via
     * the posmod trick (identical for negative sums in both engines),
-    * smallest-cell tie-break. The two update rounds are unrolled as
-    * sequential CTEs (a data-dependent stopping rule would not be
-    * oracle-stable). */
+    * smallest-cell tie-break. Seeds are the `cells` SMALLEST vec_ids,
+    * cell id = rank (r5: the rank form replaces `vec_id < cells`, so
+    * the contract holds for any id set — ADVICE r4). The two update
+    * rounds are unrolled as sequential CTEs (a data-dependent stopping
+    * rule would not be oracle-stable). */
   private val ivfSql: String = {
     val cells = 8
     // one (distances, assignment) round under centroid CTE `cent`
@@ -130,7 +132,12 @@ object DataPrepQueries {
        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
        |               generate_subscripts(embedding, 1) AS i FROM embeddings)
        |),
-       |c0 AS (SELECT vec_id AS cell, i, xq AS mu FROM comps WHERE vec_id < $cells),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT $cells)
+       |),
+       |c0 AS (SELECT s.cell, c.i, c.xq AS mu
+       |       FROM comps c JOIN seeds s ON c.vec_id = s.vec_id),
        |${round("c0", "d0", "a0")},
        |${update("a0", "c0", "s1", "c1")},
        |${round("c1", "d1", "a1")},
@@ -172,6 +179,74 @@ object DataPrepQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
        |WHERE rn <= 3""".stripMargin
+
+  /** Query-set probe CTEs under the FINAL centroids: the `nprobe`
+    * nearest cells per query, distance-then-cell ordered — mirrors
+    * [[graft.functions.IvfOps.probesF]] (d2 holds every corpus
+    * vector's distances under c2; its rank-1 row is exactly `af`). */
+  private def ivfProbesCte(nprobe: Int): String =
+    s"""qprobe AS (
+       |  SELECT vec_id AS q_id, cell AS probe FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d2)
+       |  WHERE rn <= $nprobe AND vec_id % 50 = 0
+       |),
+       |qs AS (SELECT p.q_id, e.embedding AS q_emb, p.probe
+       |       FROM qprobe p JOIN embeddings e ON p.q_id = e.vec_id)""".stripMargin
+
+  /** Multi-probe batch IVF key SQL (nprobe = 2): each query scans its
+    * two nearest inverted lists — mirrors
+    * [[graft.dataprep.Similarity.ivfTopKBatch]] with nprobe = 2. */
+  private val ivfProbeSql: String =
+    s"""$ivfSql,
+       |${ivfProbesCte(2)},
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
+       |  FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
+       |  JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id
+       |)
+       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
+       |WHERE rn <= 3""".stripMargin
+
+  /** IVF recall key SQL (mirrors
+    * [[graft.dataprep.Similarity.ivfRecallAtK]]): recall@3 of the
+    * nprobe-cell IVF candidates vs the exact brute-force top-3 under
+    * the shared (rounded-cosine desc, vec_id) ranking contract. */
+  private def ivfRecallSql(nprobe: Int): String =
+    s"""$ivfSql,
+       |${ivfProbesCte(nprobe)},
+       |approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                            CAST(q.q_emb AS DOUBLE[])), 4) DESC,
+       |               e.vec_id) AS rn
+       |    FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
+       |    JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id)
+       |  WHERE rn <= 3
+       |),
+       |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % 50 = 0),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                            CAST(q.q_emb AS DOUBLE[])), 4) DESC,
+       |               e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN qe q WHERE e.vec_id <> q.q_id)
+       |  WHERE rn <= 3
+       |)
+       |SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN approx a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+       |GROUP BY x.q_id""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -429,6 +504,31 @@ object DataPrepQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfTopKBatch(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      }),
+
+    // nprobe = 2: each query scans its TWO nearest inverted lists —
+    // where real IVF recall comes from; candidates ~2×, still one
+    // inverted-list equi-join (probes explode query-side)
+    "ann_ivf_probe" -> Q(ivfProbeSql)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKBatch(emb, emb.where(col("vec_id") % 50 === 0),
+          k = 3, nprobe = 2)
+      }),
+
+    // measured IVF recall@3 vs brute force at nprobe 1 and 2 — the
+    // cells/nprobe trade graded on data, like ann_recall(_r2) for LSH
+    "ivf_recall" -> Q(ivfRecallSql(1))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfRecallAtK(emb, emb.where(col("vec_id") % 50 === 0), k = 3)
+      }),
+
+    "ivf_recall_p2" -> Q(ivfRecallSql(2))(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfRecallAtK(emb, emb.where(col("vec_id") % 50 === 0),
+          k = 3, nprobe = 2)
       }),
 
     // Radius-2 variant: measures what the second probe ring buys. The

@@ -155,6 +155,52 @@ class VecLshBucketSpec extends SparkSuite {
   }
 }
 
+class IvfExprsSpec extends SparkSuite {
+
+  /** Independent recomputation of the assignment contract: quantize to
+    * milli-units, exact integer Σ(x−μ)², argmin ties to the smallest
+    * cell — what the DuckDB oracle's distance CTEs run. */
+  private def referenceDists(v: Array[Float], cent: Array[Array[Long]]): Array[Long] =
+    cent.map { mu =>
+      v.indices.map { i =>
+        val d = math.floor(v(i).toDouble * 1000.0 + 0.5).toLong - mu(i)
+        d * d
+      }.sum
+    }
+
+  test("codegen cell/probes ≡ independent integer reference; ties break to smallest cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val cent: Array[Array[Long]] =
+      Array.fill(5)(Array.fill(8)(rnd.nextInt(2001).toLong - 1000L))
+    val bc = spark.sparkContext.broadcast(cent)
+    val vecs = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), VecIvfCell(col("embedding"), bc).as("cell"),
+        VecIvfProbes(col("embedding"), bc, 3).as("probes"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val d = referenceDists(v, cent)
+      val order = d.zipWithIndex.sortBy { case (dist, j) => (dist, j) }.map(_._2)
+      assert(got(id)._1 == order.head, s"vec $id cell")
+      assert(got(id)._2 == order.take(3).toSeq, s"vec $id probes")
+      // the probe list is distance-ordered and starts at the cell
+      assert(got(id)._2.head == got(id)._1)
+    }
+    // exact ties: two identical centroids — the SMALLER cell id wins
+    // both the assignment and the probe order (the oracle's ORDER BY d, cell)
+    val tied = spark.sparkContext.broadcast(Array(cent(2), cent(0), cent(2)))
+    val t = vecs.take(5).toDF("vec_id", "embedding")
+      .select(VecIvfCell(col("embedding"), tied).as("cell"),
+        VecIvfProbes(col("embedding"), tied, 3).as("probes"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+    t.foreach { case (cell, probes) =>
+      assert(cell != 2, "tie must resolve to the smaller duplicate cell")
+      assert(probes.indexOf(0) < probes.indexOf(2), probes.toString)
+    }
+  }
+}
+
 class PrAggregatorSpec extends SparkSuite {
   test("single-pass confusion matrix with partial merge") {
     import spark.implicits._
