@@ -23,7 +23,9 @@ object PlanAudit {
     "dedup_simhash_pairs", // expect multi-table key equi-join, no cartesian
     "ann_lsh_probe",   // expect probe-side explode, still ONE equi-join
     "ann_recall",      // expect bucketed approx side + (query-sample × corpus) exact side
-    "ann_ivf",         // expect cell equi-join against broadcast 1-row query, top-k
+    "ann_ivf",         // expect cell equi-join against broadcast 1-row query, top-k,
+                       //   vec_ivf_cell assignment (codegen, broadcast centroids — r5)
+    "ann_ivf_probe",   // expect query-side explode of vec_ivf_probes, ONE cell equi-join
     "kg_triples",      // expect broadcast canon join, ONE corpus scan, NO media join (r4)
     "topk")            // expect TakeOrderedAndProject, not global sort
 

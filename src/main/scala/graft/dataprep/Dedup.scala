@@ -6,6 +6,7 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleMinHash, ShingleSet, SimHash60}
+import graft.sources.SnapshotStore
 
 /** Corpus deduplication for training-data pipelines, at four fidelities
   * (task brief: exact, MinHash+LSH, SimHash, n-gram Jaccard). All are
@@ -63,6 +64,28 @@ object Dedup {
     * accumulation across calls. */
   private def materialize(df: DataFrame): DataFrame =
     df.persist(StorageLevel.DISK_ONLY)
+
+  /** Restart-SURVIVABLE sketch materialization (VERDICT r4 #4 /
+    * SURVEY §7 item 4): with a `(store, marker)` the sketch table is
+    * `SnapshotStore.commit`ted under a content marker and read back
+    * from the committed snapshot — a pair job restarted after a crash
+    * finds the marker already committed (commit is a no-op) and reuses
+    * the sketches exactly like the KG pipeline reuses stage snapshots,
+    * instead of recomputing the corpus-sized sketch pass. The marker
+    * must identify the INPUT content (e.g. the corpus snapshot id) —
+    * marker-keyed reads keep runs over different corpora in one store
+    * from seeing each other's sketches. Without a store this is the
+    * plain `persist(DISK_ONLY)` (failure-tolerant lineage, no restart
+    * survival) — the write is one pass either way. */
+  private def materializeOr(df: DataFrame, stage: String,
+                            resume: Option[(SnapshotStore, String)]): DataFrame =
+    resume match {
+      case None => materialize(df)
+      case Some((store, marker)) =>
+        val m = s"$stage-$marker"
+        store.commit(df, stage, m)
+        store.read(df.sparkSession, stage = Some(stage), marker = Some(m))
+    }
 
   /** Shingle ROWS, one per (doc_id, shingle) — the explode shape for
     * consumers that need to join on individual shingles. Derived from
@@ -122,11 +145,12 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs with estimated similarity = fraction of
     * equal signature components. */
-  def minhashPairs(documents: DataFrame, minEst: Double = 0.5): DataFrame = {
+  def minhashPairs(documents: DataFrame, minEst: Double = 0.5,
+                   resume: Option[(SnapshotStore, String)] = None): DataFrame = {
     // Materialize signatures once: the plan below references them four
     // times (both self-join sides, both pair sides); without this the
     // 32-aggregate subtree is recomputed per reference.
-    val sig = materialize(minhashSignature(documents))
+    val sig = materializeOr(minhashSignature(documents), "minhash_sig", resume)
     val bands = minhashBands(sig)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -205,8 +229,10 @@ object Dedup {
     * Hamming-≤3 pair set — same rows the old 4×15-bit chunking
     * produced, minus its n/2^15 bucket-population scale bomb
     * (VERDICT r2 #2). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSketch(materialize(simhash(documents)), maxHamming)
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   resume: Option[(SnapshotStore, String)] = None): DataFrame =
+    simhashPairsFromSketch(
+      materializeOr(simhash(documents), "simhash_sketch", resume), maxHamming)
 
   /** Blocking rows (doc_id, simhash, table_idx, k) for a sketch table
     * (doc_id, simhash) — one row per [[SimhashTables]] entry. Public so
@@ -253,8 +279,9 @@ object Dedup {
     * the within-bucket self-join went quadratic. MinHash bands spread
     * boilerplate-leading docs across the hash space; only genuinely
     * similar shingle SETS collide. */
-  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    val sets = materialize(shingleSets(documents))
+  def ngramJaccardPairs(documents: DataFrame,
+                        resume: Option[(SnapshotStore, String)] = None): DataFrame = {
+    val sets = materializeOr(shingleSets(documents), "jacc_shingles", resume)
     val nPerms = JaccardBands * JaccardRows
     val sig = documents
       .select(col("doc_id"), ShingleMinHash(col("text"), nPerms).as("sig"))
@@ -266,10 +293,11 @@ object Dedup {
         md5(concat_ws(",", comps: _*).cast("binary")).as("band_key"))
     }
     // referenced twice by the self-join below
-    val keyed = materialize(
+    val keyed = materializeOr(
       sig.select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
-          col("bk.band_key").as("band_key")))
+          col("bk.band_key").as("band_key")),
+      "jacc_bands", resume)
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&

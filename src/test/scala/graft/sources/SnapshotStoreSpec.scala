@@ -225,6 +225,14 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 4)
     // programmatic and SQL reads agree (one store, one snapshot log)
     assert(store.read(spark, stage = Some("ev")).count() == 4)
+
+    // escape hatch (ADVICE r4): a user who MEANS to append an
+    // identical literal row again can switch the digest no-op off
+    spark.conf.set("spark.graft.sql.dedupLiteralInserts", "false")
+    try {
+      spark.sql(s"INSERT INTO $cat.ev VALUES (4, 'd')")
+      assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 5)
+    } finally spark.conf.unset("spark.graft.sql.dedupLiteralInserts")
   }
 
   test("SQL INSERT replicates the stage's partition layout; hidden stages rejected; source-reading inserts append") {
@@ -258,12 +266,32 @@ class SnapshotStoreSpec extends SparkSuite {
       s"SELECT subj FROM $cat.triples WHERE pred = 'mentionedIn' ORDER BY subj")
       .collect().map(_.getString(0)).toSeq == Seq("E2", "E3"))
 
-    // hidden-partition stage: the transform isn't reconstructible from
-    // SQL — INSERT must be refused, not silently mislaid
+    // hidden-partition stage (r5): the commit records the transform's
+    // SQL, so INSERT REPLAYS the layout — the append lands in the
+    // stage's hive tree under its computed day= dir, and the logical
+    // surface never sees the layout column
     store.commit(Seq((86410L, "a")).toDF("ts", "v"), "ev", "mh",
       hiddenPartitions = Seq("day" -> (col("ts").cast("long") / 86400L).cast("long")))
+    spark.sql(s"INSERT INTO $cat.ev VALUES (5, 'x')")
+    val mh = store.manifests().last
+    assert(mh.hidden == Seq("day") && mh.hiddenExprs.nonEmpty, mh)
+    assert(mh.files.nonEmpty && mh.files.forall(_.contains("/day=0/")), mh.files)
+    assert(spark.sql(s"SELECT * FROM $cat.ev").columns.toSeq == Seq("ts", "v"))
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 2)
+    assert(store.read(spark, stage = Some("ev")).count() == 2)
+
+    // pre-r5 manifest (hidden recorded WITHOUT transform SQL): the
+    // transform isn't reconstructible — INSERT must still be refused,
+    // not silently mislaid
+    val oldDir = java.nio.file.Paths.get(dir, "data", "snap-old")
+    Seq((86410L, "a")).toDF("ts", "v")
+      .withColumn("day", (col("ts") / 86400L).cast("long"))
+      .write.partitionBy("day").parquet(oldDir.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_snapshots", s"${store.latestId.get + 1}.json"),
+      s"""{"id":${store.latestId.get + 1},"dir":"$oldDir","stage":"evold","marker":"mo","rows":1,"wall_ms":1,"hidden":["day"],"metrics":{}}""")
     val e = intercept[Exception](
-      spark.sql(s"INSERT INTO $cat.ev VALUES (5, 'x')"))
+      spark.sql(s"INSERT INTO $cat.evold VALUES (5, 'x')"))
     assert(e.getMessage != null)
 
     // a source-reading insert (not literal-only) APPENDS on every run:
@@ -283,6 +311,14 @@ class SnapshotStoreSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $cat.log VALUES ('deploy', CAST(current_date() AS STRING))")
     spark.sql(s"INSERT INTO $cat.log VALUES ('deploy', CAST(current_date() AS STRING))")
     assert(spark.sql(s"SELECT * FROM $cat.log").count() == 3)
+
+    // env-dependent niladics append every run too (ADVICE r4): the
+    // same statement run by a DIFFERENT user inserts different data,
+    // so deduping on plan equality would silently lose rows — the
+    // childless-non-literal guard fails safe without naming the fn
+    spark.sql(s"INSERT INTO $cat.log VALUES ('who', current_user())")
+    spark.sql(s"INSERT INTO $cat.log VALUES ('who', current_user())")
+    assert(spark.sql(s"SELECT * FROM $cat.log").count() == 5)
   }
 
   test("cached store instance survives an external wipe of its directories") {
@@ -322,6 +358,50 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(rd.columns.toSet == Set("ts", "v"), rd.columns.toSeq)
     assert(rd.collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
     assert(store.read(spark, stage = Some("ev"), asOf = Some(1L)).count() == 2)
+  }
+
+  test("two same-spec legacy partitioned snapshots serve as one SQL scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = freshStore()
+    def legacy(id: Int, rows: Seq[(Long, String)], marker: String): Unit = {
+      val d = java.nio.file.Paths.get(dir, "data", s"snap-$id")
+      rows.toDF("ts", "v").withColumn("day", (col("ts") / 86400L).cast("long"))
+        .write.partitionBy("day").parquet(d.toString)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_snapshots", s"$id.json"),
+        s"""{"id":$id,"dir":"$d","stage":"ev","marker":"$marker","rows":${rows.size},"wall_ms":1,"hidden":["day"],"metrics":{}}""")
+    }
+    legacy(1, Seq((10L, "a"), (86405L, "b")), "m1")
+    legacy(2, Seq((86400L * 2 + 3, "c")), "m2")
+    // programmatic read always worked: one single-root scan per legacy
+    // dir, unioned (Spark cannot union several partitioned ROOTS in
+    // one scan — re-verified this round: the multi-path form throws
+    // CONFLICTING_DIRECTORY_STRUCTURES even with identical specs)
+    assert(store.read(spark, stage = Some("ev"))
+      .collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
+    val cat = s"snapl${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+    // SQL: two legacy roots are two incompatible layout groups — the
+    // error must name the upgrade path
+    val e = intercept[IllegalStateException](spark.table(s"$cat.ev").collect())
+    assert(e.getMessage.contains("migrateLegacyPartitioned"), e.getMessage)
+    // the upgrade (ADVICE r4): copy files into the shared hive tree,
+    // atomically rewrite manifests file-granular, drop legacy dirs —
+    // after it the stage is ONE SQL-servable layout group
+    assert(store.migrateLegacyPartitioned("ev") == 2)
+    assert(spark.sql(s"SELECT v FROM $cat.ev")
+      .collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    // both surfaces serve the same logical schema (hidden col dropped),
+    // rows survive, and as-of isolation still selects per manifest
+    assert(spark.table(s"$cat.ev").columns.toSeq ===
+      store.read(spark, stage = Some("ev")).columns.toSeq)
+    assert(store.read(spark, stage = Some("ev"))
+      .collect().map(_.getString(1)).toSet == Set("a", "b", "c"))
+    assert(store.read(spark, stage = Some("ev"), asOf = Some(1L)).count() == 2)
+    // idempotent: nothing legacy left to migrate
+    assert(store.migrateLegacyPartitioned("ev") == 0)
   }
 
   test("partitioned stage: as-of isolation, schema evolution, stats pruning over file manifests") {
@@ -368,10 +448,18 @@ class SnapshotStoreSpec extends SparkSuite {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
 
-    // the SQL surface serves the physical table (hidden col visible),
-    // so a WHERE on the transform column must become a PARTITION
-    // filter — pruned dirs, not a row filter over all files
-    val q = spark.sql(s"SELECT ts, v FROM $cat.ev WHERE day = 1")
+    // the DEFAULT SQL table serves the LOGICAL schema — exactly what
+    // SnapshotStore.read serves (one schema contract, VERDICT r4 #6)
+    assert(spark.table(s"$cat.ev").columns.toSeq ===
+      store.read(spark, stage = Some("ev")).columns.toSeq)
+    assert(!spark.table(s"$cat.ev").columns.contains("day"))
+    // the PHYSICAL layout view is the explicit $layout opt-in (the SQL
+    // spelling of keepHidden=true): hidden col visible there, and a
+    // WHERE on the transform column must become a PARTITION filter —
+    // pruned dirs, not a row filter over all files
+    val lv = "ev" + GraftCatalog.LayoutSuffix
+    assert(spark.table(s"$cat.`$lv`").columns.contains("day"))
+    val q = spark.sql(s"SELECT ts, v FROM $cat.`$lv` WHERE day = 1")
     assert(q.collect().map(_.getString(1)).toSeq == Seq("b"))
     val scan = q.queryExecution.executedPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
@@ -386,5 +474,11 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(files == 1,
       s"expected 1 surviving file after partition pruning, got $files; " +
         s"plan: ${scan.toString.take(900)}")
+
+    // the layout view is read-only: INSERTing a computed layout column
+    // would double-apply the transform
+    val ins = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.`$lv` VALUES (5, 'x', 0)"))
+    assert(ins.getMessage != null)
   }
 }
