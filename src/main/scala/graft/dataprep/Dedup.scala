@@ -84,7 +84,14 @@ object Dedup {
       case Some((store, marker)) =>
         val m = s"$stage-$marker"
         store.commit(df, stage, m)
-        store.read(df.sparkSession, stage = Some(stage), marker = Some(m))
+        // a zero-row sketch commit is marker-only (no data files), so
+        // read(marker) would reject it as "all snapshots empty" — an
+        // EMPTY corpus must behave like the non-resume path (empty
+        // result), and its sketch recompute costs nothing anyway
+        val hasRows = store.manifests()
+          .exists(mf => mf.stage == stage && mf.marker == m && mf.rows > 0)
+        if (hasRows) store.read(df.sparkSession, stage = Some(stage), marker = Some(m))
+        else df
     }
 
   /** Shingle ROWS, one per (doc_id, shingle) — the explode shape for

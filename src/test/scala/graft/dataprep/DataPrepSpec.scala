@@ -141,6 +141,19 @@ class DedupSpec extends SparkSuite {
       "minhash_sig", "minhash_sig-c2")
     val truncated = pairs(Dedup.minhashPairs(docs, resume = Some((store2, "c2"))))
     assert(truncated.forall(p => p._1 != 0L && p._2 != 0L), truncated.toString)
+
+    // an EMPTY corpus with resume behaves like the non-resume path
+    // (empty pair set): its sketch commit is marker-only (rows = 0,
+    // no data files), so the resume read must not be attempted — the
+    // marker-only snapshot would otherwise fail read's
+    // all-snapshots-empty check
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(pairs(Dedup.minhashPairs(empty, resume = Some((store2, "e1")))).isEmpty)
+    // the zero-row marker IS committed, so a replay stays a no-op
+    assert(store2.manifests().exists(m =>
+      m.stage == "minhash_sig" && m.marker == "minhash_sig-e1" && m.rows == 0))
+    assert(pairs(Dedup.minhashPairs(empty, resume = Some((store2, "e1")))).isEmpty)
   }
 
   test("ngram-jaccard blocking is skew-safe on zipfian leading tokens") {
