@@ -1,10 +1,12 @@
 package graft.dataprep
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VecIvfCell, VecIvfProbes, VecLshBucket}
+import graft.sources.SnapshotStore
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (task brief): brute-force cosine top-k as the correctness baseline,
@@ -168,9 +170,9 @@ object Similarity {
       .limit(k)
   }
 
-  /** Trains the deterministic integer k-means quantizer; returns the
-    * corpus with its inverted-list assignment (vec_id, embedding, xq,
-    * cell) AND the probe function over any raw embedding column
+  /** Trains the deterministic integer k-means quantizer ([[trainIvf]]);
+    * returns the corpus with its inverted-list assignment (vec_id,
+    * embedding, cell) AND the probe function over any raw embedding column
     * (`probesFor(embCol, nprobe)` → the nprobe nearest cell ids,
     * distance-ordered) — so query frames that are NOT part of the
     * corpus assign through the same final centroids, and multi-probe
@@ -185,6 +187,44 @@ object Similarity {
     * loudly instead of silently collapsing two seeds. */
   private def ivfModel(embeddings: DataFrame, cells: Int,
                        iters: Int): (DataFrame, (Column, Int) => Column) = {
+    val idx = trainIvf(embeddings, cells, iters)
+    (embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", idx.cellOf(col("embedding"))),
+      (e, nprobe) => idx.probesOf(e, nprobe))
+  }
+
+  /** A TRAINED IVF coarse quantizer decoupled from any one query: the
+    * broadcast centroid matrix plus assignment/probe Columns usable
+    * over ANY embedding column. This is the SERVE-path shape a 100 TB
+    * deployment needs: the two k-means passes over the corpus run once
+    * per corpus version ([[trainIvf]]), the dictionary-sized centroid
+    * table is persisted ([[saveIvf]]), and every later query batch
+    * [[loadIvf]]s it and searches WITHOUT retraining. (The oracle keys
+    * `ann_ivf*` train in-query by design — the DuckDB oracle replays
+    * training bit-exactly; this class factors the same trained state
+    * out for reuse, so results are identical by construction.) */
+  final class IvfIndex private[dataprep] (
+      val cells: Int, bc: Broadcast[Array[Array[Long]]]) {
+    /** Nearest-centroid cell id — the corpus-side scan expression. */
+    def cellOf(emb: Column): Column = VecIvfCell(emb, bc)
+    /** The `nprobe` nearest cell ids, distance-ordered — the
+      * query-side explode expression. */
+    def probesOf(emb: Column, nprobe: Int): Column = {
+      require(nprobe >= 1 && nprobe <= cells,
+        s"nprobe=$nprobe must be in [1, $cells]")
+      VecIvfProbes(emb, bc, nprobe)
+    }
+    private[dataprep] def centroids: Array[Array[Long]] = bc.value
+  }
+
+  /** Trains the deterministic integer k-means quantizer and returns
+    * the index alone (see [[ivfTopK]] for the determinism contract,
+    * [[ivfModel]]'s doc for the seeding rule). Training cost: one
+    * TakeOrderedAndProject seed job + `iters` map-side-combined
+    * (cell, component) aggregates, each collecting K·dim longs —
+    * dictionary-sized driver state, the gazetteer class. */
+  def trainIvf(embeddings: DataFrame, cells: Int = 8,
+               iters: Int = 2): IvfIndex = {
     require(cells >= 1 && iters >= 0, s"cells=$cells iters=$iters")
     val sc = embeddings.sparkSession.sparkContext
     val emb = embeddings.select(col("vec_id"), col("embedding"),
@@ -230,9 +270,52 @@ object Similarity {
       }
     }
 
-    val finalBc = sc.broadcast(cent)
-    (emb.withColumn("cell", VecIvfCell(col("embedding"), finalBc)),
-      (e, nprobe) => VecIvfProbes(e, finalBc, nprobe))
+    new IvfIndex(cells, sc.broadcast(cent))
+  }
+
+  /** Persists a trained index's centroid table to a [[SnapshotStore]]
+    * under a content marker (K rows of (cell, mu) — dictionary-sized).
+    * Marker-idempotent like every snapshot commit: re-training the
+    * same corpus version and re-saving under the same marker is a
+    * no-op, so a restarted train job converges to one committed
+    * model. */
+  def saveIvf(spark: SparkSession, index: IvfIndex, store: SnapshotStore,
+              marker: String, stage: String = "ivf_centroids"): Unit = {
+    import spark.implicits._
+    val rows = index.centroids.zipWithIndex.map { case (mu, i) => (i, mu.toSeq) }
+    store.commit(rows.toSeq.toDF("cell", "mu"), stage, s"$stage-$marker"): Unit
+  }
+
+  /** Loads a [[saveIvf]]-persisted index: one dictionary-sized read +
+    * collect + broadcast — no k-means jobs, no corpus scan. The serve
+    * path for query batches arriving after training. */
+  def loadIvf(spark: SparkSession, store: SnapshotStore, marker: String,
+              stage: String = "ivf_centroids"): IvfIndex = {
+    val rows = store.read(spark, stage = Some(stage), marker = Some(s"$stage-$marker"))
+      .select(col("cell"), col("mu")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"ivf index '$stage-$marker': cell ids must be 0..K-1, got " +
+        rows.map(_._1).mkString(","))
+    new IvfIndex(rows.length, spark.sparkContext.broadcast(rows.map(_._2)))
+  }
+
+  /** Batch IVF search against a PRE-TRAINED index ([[trainIvf]] /
+    * [[loadIvf]]): same plan shape as [[ivfTopKBatch]] — corpus
+    * assignment is a scan-side codegen'd expression, probes explode
+    * query-side, ONE inverted-list equi-join, shared [[rankTopK]]
+    * tail — but the k-means training jobs are gone from the query.
+    * With the same (cells, iters) the results are identical to
+    * [[ivfTopKBatch]] by construction (same centroids). */
+  def ivfTopKBatchWith(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                       k: Int = 3, nprobe: Int = 1,
+                       queryRows: Option[Long] = None): DataFrame = {
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      index.cellOf(col("embedding")).as("bucket"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", explode(index.probesOf(col("q_emb"), nprobe)))
+    rankTopK(assigned, probes, k, probeRows = queryRows.map(_ * nprobe))
   }
 
   /** Batch IVF (the training-pipeline shape, symmetric with
