@@ -6,6 +6,7 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ShingleMinHash, ShingleSet, SimHash60}
+import graft.kg.ConnectedComponents
 import graft.sources.SnapshotStore
 
 /** Corpus deduplication for training-data pipelines, at four fidelities
@@ -328,6 +329,52 @@ object Dedup {
     * plane count, which scales with the corpus; the pair join stays an
     * equi-join. Norms are materialized once per vector; each pair costs
     * one primitive-loop dot product (graft.functions.VecDot). */
+  /** Near-dup CLUSTER labels from any pair-stage output: connected
+    * components over the (doc_a, doc_b) graph, cluster_id = the
+    * component's smallest doc_id. Near-duplication is transitive in
+    * practice (A≈B, B≈C ⇒ the three are one content family even when
+    * the A–C pair fell under the band threshold), so the keep-one
+    * decision must be made per COMPONENT — pairwise keep-min drops
+    * both B and C yet keeps nothing of the family when A<B<C and only
+    * (A,B),(B,C) matched… worse, it can drop EVERY member (B dropped
+    * for A, C dropped for B) while A survives, which is correct, but
+    * with (A,B),(A,C) it keeps B's and C's fate consistent only by
+    * luck. Components make it deterministic and order-free.
+    *
+    * Scale shape: the pair table is ≪ corpus by construction (pairs
+    * come from LSH/blocking buckets, not cross joins), and
+    * [[graft.kg.ConnectedComponents.alternating]] is size-aware —
+    * driver-local union-find for dictionary-sized graphs,
+    * Kiveris large-star/small-star (O(log² n) rounds, one groupBy
+    * shuffle per round) when the dup graph is genuinely large. */
+  def clusters(pairs: DataFrame): DataFrame =
+    ConnectedComponents.alternating(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("entity_id").as("doc_id"), col("canonical_id").as("cluster_id"))
+
+  /** The DEDUPLICATED corpus: one canonical survivor (the cluster's
+    * min doc_id) per near-dup cluster, plus every unpaired document;
+    * `n_members` = how many documents the survivor stands for (1 for
+    * unpaired docs) — the bookkeeping a training-data pipeline wants
+    * for dedup-rate reporting and loss re-weighting.
+    *
+    * Plan shape at 100 TB: the drop-list (non-canonical cluster
+    * members) and the size table are both dup-graph-sized ≪ corpus;
+    * the corpus-sized frame flows through ONE left-anti join + one
+    * left join against them — AQE sees the dictionary-sized sides and
+    * broadcasts, so the corpus is never shuffled. */
+  def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val lab = clusters(pairs)
+    val dropList = lab.where(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+    val sizes = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"))
+    documents.select(col("doc_id"))
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .join(sizes, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
+
   def embeddingPairs(embeddings: DataFrame): DataFrame = {
     val e = embeddings
       .select(col("vec_id"), col("embedding"))

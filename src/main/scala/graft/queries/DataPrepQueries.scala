@@ -65,6 +65,54 @@ object DataPrepQueries {
        |  GROUP BY doc_id, i
        |)""".stripMargin
 
+  /** The full minhash-LSH pair pipeline as one reusable CTE list
+    * ending in `pairs(doc_a, doc_b)` — shared by the pair, cluster,
+    * and survivor oracles so the banding geometry and threshold
+    * cannot drift between them (mirrors [[Dedup.minhashPairs]]). */
+  private val minhashPairsCtes: String =
+    (toksSql + ",\n" + shingleHashSql + ",\n" + sigSql(Dedup.NumPerms) + s""",
+      |bands AS (
+      |  SELECT doc_id, CAST(i // ${Dedup.RowsPerBand} AS INT) AS band_idx,
+      |         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+      |  FROM sig GROUP BY doc_id, i // ${Dedup.RowsPerBand}
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+      |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |),
+      |est AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / ${Dedup.NumPerms}.0 AS est_sim
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      |  GROUP BY c.doc_a, c.doc_b
+      |),
+      |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_sim >= 0.5)""").stripMargin
+
+  /** Connected components over the minhash dup graph as a recursive
+    * transitive closure (components are tiny at fixture scale — the
+    * closure is the oracle's job, [[Dedup.clusters]] does the scalable
+    * version): `comp(doc_id, cluster_id)` for every paired doc,
+    * cluster_id = component min. Needs a `WITH RECURSIVE` prefix. */
+  private val dupComponentCtes: String =
+    (minhashPairsCtes + """,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a
+      |)""").stripMargin
+
   /** Hyperplane-LSH bucket per embedding (mirrors
     * graft.functions.VecOps: milli-unit quantization, two Lehmer
     * rounds mod 2^31-1 for the weights, exact integer plane dots). */
@@ -270,28 +318,38 @@ object DataPrepQueries {
       }),
 
     "dedup_minhash_pairs" -> Q(
-      ("WITH " + toksSql + ",\n" + shingleHashSql + ",\n" + sigSql(Dedup.NumPerms) + s""",
-        |bands AS (
-        |  SELECT doc_id, CAST(i // ${Dedup.RowsPerBand} AS INT) AS band_idx,
-        |         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
-        |  FROM sig GROUP BY doc_id, i // ${Dedup.RowsPerBand}
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / ${Dedup.NumPerms}.0 AS est_sim
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-        |  GROUP BY c.doc_a, c.doc_b
-        |)
+      ("WITH " + minhashPairsCtes + """
         |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5""").stripMargin)(
       (s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+
+    // Near-dup CLUSTER resolution (the keep-one-per-content-family
+    // decision a training pipeline actually ships): connected
+    // components over the minhash pair graph, replayed in the oracle
+    // as a recursive-CTE transitive closure over the SAME pair CTEs —
+    // cluster_id = component min, bit-exact in both engines.
+    "dedup_clusters" -> Q(
+      ("WITH RECURSIVE " + dupComponentCtes + """
+        |SELECT doc_id, cluster_id FROM comp""").stripMargin)(
+      (s, d) => Dedup.clusters(Dedup.minhashPairs(Tables.documents(s, d)))),
+
+    // The deduplicated corpus: min-doc_id survivor per cluster + every
+    // unpaired doc, with the absorbed-member count for dedup-rate
+    // bookkeeping. Corpus-side plan is one anti join + one left join
+    // against dup-graph-sized tables.
+    "dedup_survivors" -> Q(
+      ("WITH RECURSIVE " + dupComponentCtes + """,
+        |sizes AS (
+        |  SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id
+        |)
+        |SELECT d.doc_id, coalesce(s.n_members, CAST(1 AS BIGINT)) AS n_members
+        |FROM documents d
+        |LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""").stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.survivors(docs, Dedup.minhashPairs(docs))
+      }),
 
     "dedup_simhash" -> Q(
       ("WITH " + toksSql + s""",

@@ -40,6 +40,39 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("clusters: pairs resolve to components, cluster_id = component min") {
+    // chain 10–11–12 (transitive family: no direct 10–12 pair) plus an
+    // isolated pair 20–21; doc 30 never appears
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val lab = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("survivors: one keeper per cluster + unpaired docs, sizes correct") {
+    val corpus = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val s = Dedup.survivors(corpus, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(10L -> 3L, 20L -> 2L, 30L -> 1L))
+    // invariant: survivors' member counts cover the corpus exactly
+    assert(s.values.sum == 6L)
+  }
+
+  test("survivors over real minhash pairs: partition of the corpus") {
+    // exact dup (0,1) and near dup (0,2) share a cluster via doc 0
+    val pairs = Dedup.minhashPairs(docs)
+    val s = Dedup.survivors(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every clustered doc's label is a survivor; counts partition 5 docs
+    assert(lab.values.toSet.subsetOf(s.keySet))
+    assert(s.values.sum == 5L)
+    assert(s.keySet.intersect(lab.filter(kv => kv._2 != kv._1).keySet).isEmpty)
+  }
+
   test("simhash multi-table blocking: recall-complete for Hamming ≤ 3") {
     // Controlled fingerprints: clusters around random 60-bit bases with
     // 0–5 bit flips. Ground truth = brute-force all-pairs Hamming ≤ 3;
