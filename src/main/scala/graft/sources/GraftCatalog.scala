@@ -288,6 +288,11 @@ object GraftCatalog {
                   case _: org.apache.spark.sql.catalyst.expressions.Literal => false
                   case _: org.apache.spark.sql.catalyst.expressions.Attribute => false
                   case e if e.children.isEmpty => true
+                  // belt-and-braces only: every KNOWN time function is
+                  // niladic and already forced append by the childless
+                  // case above — this name list catches a hypothetical
+                  // future CHILDFUL spelling of a time-dependent
+                  // expression, nothing in today's Spark reaches it
                   case e => Set("current_date", "current_timestamp", "now",
                     "localtimestamp", "current_timezone", "localdate")
                     .contains(e.prettyName)

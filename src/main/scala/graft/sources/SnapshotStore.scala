@@ -219,8 +219,53 @@ final class SnapshotStore private (rootStr: String) {
     Files.createDirectories(snapsDir) // recreate if wiped since construction
     val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".json")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapsDir.resolve(s"${m.id}.json"), StandardCopyOption.ATOMIC_MOVE)
+    val dst = snapsDir.resolve(s"${m.id}.json")
+    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // the legacy-migration path REWRITES an existing <id>.json, and
+      // the JDK leaves replace-on-atomic-move implementation-specific
+      // (POSIX rename replaces; other filesystems may throw) — fall
+      // back to a replace-move so the rewrite lands everywhere
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
+
+  /** Relocates a snapshot's parquet files into the stage's shared hive
+    * tree under snapshot-unique names (`snap-<id>-<file>`), keeping
+    * each file's hive partition fragment. One loop for BOTH writers of
+    * the file-granular layout — fresh commits (`move = true`: same
+    * filesystem, atomic) and legacy migration (`move = false`: the
+    * source must stay intact until the manifest rewrite lands) — so
+    * the on-disk naming scheme cannot fork between them. Returns the
+    * target paths, i.e. the manifest's file list. */
+  private def relocateIntoStageRoot(src: Path, stageRoot: Path, id: Long,
+                                    move: Boolean): List[String] = {
+    val walk = Files.walk(src)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val rel = src.relativize(f)
+        val target = Option(rel.getParent)
+          .map(stageRoot.resolve).getOrElse(stageRoot)
+          .resolve(s"snap-$id-${f.getFileName}")
+        Files.createDirectories(target.getParent)
+        if (move) Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+        else Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+        target.toString
+      }.toList
+    finally walk.close() // release the dir handles the stream holds
+  }
+
+  /** A stage named with the SQL layout-view suffix would be silently
+    * hijacked by [[GraftCatalog]]'s name parsing (`` x$layout `` serves
+    * the PHYSICAL view of stage `x`, never a stage literally named
+    * that) — refuse it at commit time, where the mistake is made. */
+  private def validateStageName(stage: String): Unit =
+    require(!stage.endsWith(GraftCatalog.LayoutSuffix),
+      s"stage name '$stage' is reserved: the '${GraftCatalog.LayoutSuffix}' " +
+        "suffix selects a stage's physical layout view on the SQL surface")
 
   /** Atomic append commit. Returns the snapshot id, or None when the
     * marker was already committed (idempotent replay). `partitionBy`
@@ -252,6 +297,7 @@ final class SnapshotStore private (rootStr: String) {
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"partition column name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
     }
+    validateStageName(stage)
     val existing = manifests() // one listing: marker check AND next id
     if (existing.exists(_.marker == marker)) return None
     val t0 = System.nanoTime()
@@ -295,21 +341,7 @@ final class SnapshotStore private (rootStr: String) {
       if (!partitioned) (dir.toString, Nil)
       else {
         val stageRoot = dataDir.resolve(s"part-$stage")
-        val walk = Files.walk(dir)
-        val moved = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
-            // keep the hive fragment (pred=X/...), make the file name
-            // snapshot-unique so resumed rewrites never collide
-            val rel = dir.relativize(f)
-            val target = Option(rel.getParent)
-              .map(stageRoot.resolve).getOrElse(stageRoot)
-              .resolve(s"snap-$id-${f.getFileName}")
-            Files.createDirectories(target.getParent)
-            Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-            target.toString
-          }.toList
-        finally walk.close() // release the dir handles the stream holds
+        val moved = relocateIntoStageRoot(dir, stageRoot, id, move = true)
         rmTmpTree(dir)
         (stageRoot.toString, moved)
       }
@@ -333,7 +365,7 @@ final class SnapshotStore private (rootStr: String) {
         // first SQL INSERT months later
         sqls.foreach(s => org.apache.spark.sql.functions.expr(s))
         sqls
-      } catch { case _: Throwable => Nil }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
     writeManifest(Manifest(id, finalDir, stage, marker, rows,
       (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics,
       hidden = hiddenPartitions.map(_._1), parts = partitionBy, files = files,
@@ -360,6 +392,7 @@ final class SnapshotStore private (rootStr: String) {
   def commitBuckets(df: DataFrame, stage: String, bucketCol: String,
                     buckets: Seq[Int], markerFor: Int => String,
                     statsCol: Option[String] = None): Seq[Long] = synchronized {
+    validateStageName(stage)
     val existing = manifests() // one listing: marker check AND next id
     val done = existing.map(_.marker).toSet
     val todo = buckets.filterNot(b => done.contains(markerFor(b)))
@@ -452,27 +485,18 @@ final class SnapshotStore private (rootStr: String) {
       m.stage == stage && m.files.isEmpty &&
         (m.parts.nonEmpty || m.hidden.nonEmpty) && m.rows > 0)
     val stageRoot = dataDir.resolve(s"part-$stage")
-    legacy.foreach { m =>
+    // a legacy manifest whose snap dir was externally wiped (tolerated
+    // elsewhere — the store serves the surviving snapshots) has nothing
+    // to relocate and does NOT count as migrated
+    legacy.count { m =>
       val src = Paths.get(m.dir)
-      if (Files.isDirectory(src)) {
-        val walk = Files.walk(src)
-        val copied = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
-            val rel = src.relativize(f)
-            val target = Option(rel.getParent)
-              .map(stageRoot.resolve).getOrElse(stageRoot)
-              .resolve(s"snap-${m.id}-${f.getFileName}")
-            Files.createDirectories(target.getParent)
-            Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
-            target.toString
-          }.toList
-        finally walk.close()
+      Files.isDirectory(src) && {
+        val copied = relocateIntoStageRoot(src, stageRoot, m.id, move = false)
         writeManifest(m.copy(dir = stageRoot.toString, files = copied))
         rmTmpTree(src)
+        true
       }
     }
-    legacy.size
   }
 
   /** Source frames for a selected manifest set (see [[layoutGroups]];

@@ -292,7 +292,9 @@ class SnapshotStoreSpec extends SparkSuite {
       s"""{"id":${store.latestId.get + 1},"dir":"$oldDir","stage":"evold","marker":"mo","rows":1,"wall_ms":1,"hidden":["day"],"metrics":{}}""")
     val e = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.evold VALUES (5, 'x')"))
-    assert(e.getMessage != null)
+    // must be THE pre-r5 guard, not any incidental failure
+    assert(e.getMessage.contains("recorded without replayable transform SQL"),
+      s"expected the pre-r5 hidden-manifest reject, got: ${e.getMessage}")
 
     // a source-reading insert (not literal-only) APPENDS on every run:
     // plan-equality is not data-equality for external inputs
@@ -319,6 +321,42 @@ class SnapshotStoreSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $cat.log VALUES ('who', current_user())")
     spark.sql(s"INSERT INTO $cat.log VALUES ('who', current_user())")
     assert(spark.sql(s"SELECT * FROM $cat.log").count() == 5)
+  }
+
+  test("stage names ending in the SQL layout suffix are refused at commit") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // such a stage would be unreachable via SQL: `ev$layout` parses as
+    // the physical view of stage `ev` — refuse where the mistake is made
+    val e = intercept[IllegalArgumentException](store.commit(df, "ev$layout", "m"))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      store.commitBuckets(df.withColumn("b", org.apache.spark.sql.functions.lit(0)),
+        "x$layout", "b", Seq(0), i => s"b$i"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("migrateLegacyPartitioned does not count externally-wiped snapshots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, dir) = freshStore()
+    // hand-write a legacy (pre-file-manifest) partitioned snapshot whose
+    // data dir never existed — the tolerated externally-wiped state
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "_snapshots"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_snapshots", "1.json"),
+      s"""{"id":1,"dir":"$dir/data/gone","stage":"w","marker":"m1","rows":1,"wall_ms":1,"hidden":[],"parts":["p"],"files":[],"metrics":{}}""")
+    assert(store.migrateLegacyPartitioned("w") == 0) // nothing relocated
+    // a real legacy snapshot beside it still migrates and counts
+    val oldDir = java.nio.file.Paths.get(dir, "data", "snap-legacy-w")
+    Seq(("a", "p1")).toDF("v", "p").write.partitionBy("p").parquet(oldDir.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_snapshots", "2.json"),
+      s"""{"id":2,"dir":"$oldDir","stage":"w","marker":"m2","rows":1,"wall_ms":1,"hidden":[],"parts":["p"],"files":[],"metrics":{}}""")
+    assert(store.migrateLegacyPartitioned("w") == 1)
+    assert(store.read(spark, stage = Some("w"), marker = Some("m2"))
+      .where(col("p") === "p1").count() == 1)
   }
 
   test("cached store instance survives an external wipe of its directories") {
@@ -479,6 +517,8 @@ class SnapshotStoreSpec extends SparkSuite {
     // would double-apply the transform
     val ins = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.`$lv` VALUES (5, 'x', 0)"))
-    assert(ins.getMessage != null)
+    // must be THE read-only-view guard, not any incidental failure
+    assert(ins.getMessage.contains("read-only physical view"),
+      s"expected the layout-view write reject, got: ${ins.getMessage}")
   }
 }
