@@ -347,10 +347,18 @@ object Dedup {
     * driver-local union-find for dictionary-sized graphs,
     * Kiveris large-star/small-star (O(log² n) rounds, one groupBy
     * shuffle per round) when the dup graph is genuinely large. */
-  def clusters(pairs: DataFrame): DataFrame =
-    ConnectedComponents.alternating(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  def clusters(pairs: DataFrame): DataFrame = {
+    // CC probes the edge set eagerly several times (size probe, then
+    // either the local collect or the nodes/canon materializations) —
+    // cache the pair plan so the band self-join behind it runs ONCE;
+    // every probe happens inside alternating() (its rounds checkpoint,
+    // its local path collects), so the cache is dropped before return
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try ConnectedComponents.alternating(edges)
       .select(col("entity_id").as("doc_id"), col("canonical_id").as("cluster_id"))
+    finally { edges.unpersist(blocking = false); () }
+  }
 
   /** The DEDUPLICATED corpus: one canonical survivor (the cluster's
     * min doc_id) per near-dup cluster, plus every unpaired document;
