@@ -26,6 +26,7 @@ object PlanAudit {
     "ann_ivf",         // expect cell equi-join against broadcast 1-row query, top-k,
                        //   vec_ivf_cell assignment (codegen, broadcast centroids — r5)
     "ann_ivf_probe",   // expect query-side explode of vec_ivf_probes, ONE cell equi-join
+    "dedup_survivors", // expect corpus-side broadcast anti/left joins vs dup-graph tables (r5)
     "kg_triples",      // expect broadcast canon join, ONE corpus scan, NO media join (r4)
     "topk")            // expect TakeOrderedAndProject, not global sort
 

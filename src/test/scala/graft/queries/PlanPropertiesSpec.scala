@@ -98,6 +98,24 @@ class PlanPropertiesSpec extends SparkSuite {
       finalPlan.take(1500))
   }
 
+  test("survivors: the corpus joins the dup-graph tables by broadcast, never shuffled") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus-shaped side (5k rows) against a dictionary-sized dup
+    // graph: clusters {1,2,3} and {10,11} drop 3 non-canonical members
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val s = graft.dataprep.Dedup.survivors(docs, pairs)
+    assert(s.count() == 4997)
+    // the FINAL adaptive plan must take both corpus-side joins (the
+    // anti join against the drop-list, the left join against the size
+    // table) as broadcasts — an SMJ here would shuffle the corpus on
+    // doc_id at 100 TB for dictionary-sized right sides
+    val p = s.queryExecution.executedPlan.toString
+    assert(p.split("BroadcastHashJoin").length - 1 == 2, p.take(1500))
+  }
+
   test("batch-ANN probe broadcast is size-gated: known-large query sets shuffle-join") {
     import org.apache.spark.sql.functions._
     // 2M-row frames: range stats (16 MB est.) sit above the 10 MB
