@@ -204,8 +204,14 @@ final class SnapshotStore private (rootStr: String) {
     // _snapshots dir IS an empty store, not an error
     if (!Files.isDirectory(snapsDir)) return Nil
     val list = Files.list(snapsDir)
+    // dot-prefixed files are in-flight temp manifests (or their crash
+    // orphans): parsing one would throw and brick every store call, so
+    // only committed `<id>.json` names are visible
     try list.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && !n.startsWith(".")
+      }
       .map(p => parse(Files.readString(p)))
       .toSeq.sortBy(_.id)
     finally list.close()
@@ -215,19 +221,22 @@ final class SnapshotStore private (rootStr: String) {
 
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
-  private def writeManifest(m: Manifest): Unit = {
+  /** `replaceExisting` is passed ONLY by the legacy-migration rewrite
+    * (which overwrites its own `<id>.json`): the JDK leaves
+    * replace-on-atomic-move implementation-specific (POSIX rename
+    * replaces; other filesystems may throw), so that one caller gets a
+    * replace-move fallback. Fresh commits keep the strict atomic move —
+    * a duplicate-id race must fail loudly, never clobber a committed
+    * manifest, and a commit must never degrade to a non-atomic write. */
+  private def writeManifest(m: Manifest, replaceExisting: Boolean = false): Unit = {
     Files.createDirectories(snapsDir) // recreate if wiped since construction
-    val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".json")
+    val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".tmp")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
     val dst = snapsDir.resolve(s"${m.id}.json")
     try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // the legacy-migration path REWRITES an existing <id>.json, and
-      // the JDK leaves replace-on-atomic-move implementation-specific
-      // (POSIX rename replaces; other filesystems may throw) — fall
-      // back to a replace-move so the rewrite lands everywhere
       case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AtomicMoveNotSupportedException =>
+           _: java.nio.file.AtomicMoveNotSupportedException if replaceExisting =>
         Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
     }
   }
@@ -492,9 +501,17 @@ final class SnapshotStore private (rootStr: String) {
       val src = Paths.get(m.dir)
       Files.isDirectory(src) && {
         val copied = relocateIntoStageRoot(src, stageRoot, m.id, move = false)
-        writeManifest(m.copy(dir = stageRoot.toString, files = copied))
-        rmTmpTree(src)
-        true
+        // a dir with no parquet files (partially wiped) must NOT be
+        // rewritten: dir=stageRoot with files=Nil would re-classify the
+        // manifest as a legacy dir spanning the SHARED stage tree —
+        // reads would double-serve every migrated snapshot and a repeat
+        // migrate would copy the tree onto itself
+        copied.nonEmpty && {
+          writeManifest(m.copy(dir = stageRoot.toString, files = copied),
+            replaceExisting = true)
+          rmTmpTree(src)
+          true
+        }
       }
     }
   }

@@ -359,6 +359,40 @@ class SnapshotStoreSpec extends SparkSuite {
       .where(col("p") === "p1").count() == 1)
   }
 
+  test("orphan temp manifest files never brick the store") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "s", "m1")
+    // a crash between createTempFile and the atomic move leaves a
+    // dot-prefixed orphan; it must be invisible to every store call
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_snapshots", ".tmp-2dead.json"),
+      Array.emptyByteArray)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_snapshots", ".tmp-2dead.tmp"),
+      "half-writ".getBytes)
+    assert(store.manifests().size == 1)
+    assert(store.commit(Seq((2L, "b")).toDF("k", "v"), "s", "m2") == Some(2L))
+    assert(store.read(spark, stage = Some("s")).count() == 2)
+  }
+
+  test("migrate skips a legacy dir whose parquet files were wiped") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    // healthy file-granular snapshot in the shared tree first
+    store.commit(Seq(("a", "p1")).toDF("v", "p"), "g", "m1", partitionBy = Seq("p"))
+    // legacy manifest whose dir EXISTS but holds no parquet files —
+    // rewriting it would re-classify it over the whole shared tree
+    val hollow = java.nio.file.Paths.get(dir, "data", "snap-hollow")
+    java.nio.file.Files.createDirectories(hollow)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_snapshots", "99.json"),
+      s"""{"id":99,"dir":"$hollow","stage":"g","marker":"mh","rows":1,"wall_ms":1,"hidden":[],"parts":["p"],"files":[],"metrics":{}}""")
+    assert(store.migrateLegacyPartitioned("g") == 0)
+    // the healthy snapshot still serves exactly once (no double-serve)
+    assert(store.read(spark, stage = Some("g"), marker = Some("m1")).count() == 1)
+  }
+
   test("cached store instance survives an external wipe of its directories") {
     import spark.implicits._
     val (store, dir) = freshStore()
