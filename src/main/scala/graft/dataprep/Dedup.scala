@@ -85,14 +85,17 @@ object Dedup {
       case Some((store, marker)) =>
         val m = s"$stage-$marker"
         store.commit(df, stage, m)
-        // a zero-row sketch commit is marker-only (no data files), so
-        // read(marker) would reject it as "all snapshots empty" — an
-        // EMPTY corpus must behave like the non-resume path (empty
-        // result), and its sketch recompute costs nothing anyway
-        val hasRows = store.manifests()
-          .exists(mf => mf.stage == stage && mf.marker == m && mf.rows > 0)
-        if (hasRows) store.read(df.sparkSession, stage = Some(stage), marker = Some(m))
-        else df
+        // hasLiveData covers two must-recompute states: a zero-row
+        // sketch commit is marker-only (no data files), so read(marker)
+        // would reject it as "all snapshots empty" — an EMPTY corpus
+        // must behave like the non-resume path; and a committed sketch
+        // whose DATA was externally wiped (manifest survives, dirs
+        // gone — a state the store tolerates elsewhere) must fall back
+        // to the plain persist path instead of crashing the restart
+        // (r5 review). Both recompute from the corpus we still hold.
+        if (store.hasLiveData(stage, m))
+          store.read(df.sparkSession, stage = Some(stage), marker = Some(m))
+        else materialize(df)
     }
 
   /** Shingle ROWS, one per (doc_id, shingle) — the explode shape for
@@ -361,26 +364,31 @@ object Dedup {
   }
 
   /** The DEDUPLICATED corpus: one canonical survivor (the cluster's
-    * min doc_id) per near-dup cluster, plus every unpaired document;
-    * `n_members` = how many documents the survivor stands for (1 for
-    * unpaired docs) — the bookkeeping a training-data pipeline wants
-    * for dedup-rate reporting and loss re-weighting.
+    * min doc_id) per near-dup cluster, plus every unpaired document —
+    * every `documents` column passes through (the caller gets usable
+    * survivor CONTENT, not a doc_id list it must re-join against the
+    * corpus at corpus scale; r5 review) plus `n_members` = how many
+    * documents the survivor stands for (1 for unpaired docs), the
+    * bookkeeping a training-data pipeline wants for dedup-rate
+    * reporting and loss re-weighting. `documents` must not already
+    * have an `n_members` column.
     *
     * Plan shape at 100 TB: the drop-list (non-canonical cluster
     * members) and the size table are both dup-graph-sized ≪ corpus;
     * the corpus-sized frame flows through ONE left-anti join + one
     * left join against them — AQE sees the dictionary-sized sides and
-    * broadcasts, so the corpus is never shuffled. */
+    * broadcasts, so the corpus is never shuffled, and the payload
+    * columns ride the same stream either way. */
   def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val lab = clusters(pairs)
     val dropList = lab.where(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
     val sizes = lab.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("doc_id"), col("n_members"))
-    documents.select(col("doc_id"))
+    documents
       .join(dropList, Seq("doc_id"), "left_anti")
       .join(sizes, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
   }
 
   def embeddingPairs(embeddings: DataFrame): DataFrame = {

@@ -244,20 +244,26 @@ object Similarity {
     }
     var cent: Array[Array[Long]] = seeds.map(_._2)
 
-    // one codegen'd argmin loop per row; centroids ride a broadcast
-    // handle embedded via addReferenceObj (graft.functions.IvfOps)
-    def cellCol(c: Array[Array[Long]]): Column =
-      VecIvfCell(col("embedding"), sc.broadcast(c))
-
     for (_ <- 1 to iters) {
+      // one codegen'd argmin loop per row; this round's centroids ride
+      // a broadcast handle embedded via addReferenceObj
+      // (graft.functions.IvfOps). The handle is destroyed as soon as
+      // the round's aggregate has collected — at the design point each
+      // matrix is ~0.5 GB (2^18 cells × 256 dims × 8 B), so letting
+      // `iters` dead copies linger per executor until ContextCleaner
+      // GC would transiently pin iters × 0.5 GB (r5 review); only the
+      // FINAL matrix below outlives training.
+      val roundBc = sc.broadcast(cent)
       // one (cell, component) aggregate; count(*) per component is the
       // cell population. Empty cells keep their previous centroid.
-      val sums = emb.withColumn("cell", cellCol(cent))
-        .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val sums =
+        try emb.withColumn("cell", VecIvfCell(col("embedding"), roundBc))
+          .select(col("cell"), posexplode(col("xq")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        finally roundBc.destroy()
       val byCell = sums.groupBy(_._1)
       cent = Array.tabulate(cells) { j =>
         byCell.get(j) match {

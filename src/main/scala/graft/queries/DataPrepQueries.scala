@@ -208,6 +208,31 @@ object DataPrepQueries {
        |WHERE a.cell = qc.cell AND e.vec_id <> 0
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
 
+  /** The IVF candidate CTE shared by every batch key: corpus ⋈
+    * inverted-list assignment ⋈ a `qs` CTE of (q_id, q_emb, probe)
+    * rows, self-excluded, rounded cosine. ONE spelling of the
+    * candidate-generation contract (r5 review: previously repeated
+    * verbatim in three oracle strings — a future ranking/rounding
+    * change applied to one copy would silently desynchronize the
+    * others, the drift [[minhashPairsCtes]] exists to prevent). */
+  private val ivfCandCte: String =
+    """cand AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
+      |  FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
+      |  JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id
+      |)""".stripMargin
+
+  /** The per-query top-3 tail over [[ivfCandCte]] — the single
+    * spelling of the (rounded-cosine desc, vec_id) tie-break the
+    * Spark side's shared `rankTopK` guarantees. */
+  private val ivfTop3Sql: String =
+    """SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
+      |WHERE rn <= 3""".stripMargin
+
   /** Batch IVF key SQL: same quantizer, query set = vec_id % 50 = 0,
     * ONE cell equi-join, per-query top-3 (mirrors
     * [[graft.dataprep.Similarity.ivfTopKBatch]]). */
@@ -216,17 +241,8 @@ object DataPrepQueries {
        |qs AS (SELECT a.vec_id AS q_id, e.embedding AS q_emb, a.cell AS probe
        |       FROM af a JOIN embeddings e ON a.vec_id = e.vec_id
        |       WHERE a.vec_id % 50 = 0),
-       |cand AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-       |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
-       |  FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
-       |  JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id
-       |)
-       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
-       |WHERE rn <= 3""".stripMargin
+       |$ivfCandCte
+       |$ivfTop3Sql""".stripMargin
 
   /** Query-set probe CTEs under the FINAL centroids: the `nprobe`
     * nearest cells per query, distance-then-cell ordered — mirrors
@@ -249,17 +265,8 @@ object DataPrepQueries {
   private val ivfProbeSql: String =
     s"""$ivfSql,
        |${ivfProbesCte(2)},
-       |cand AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-       |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
-       |  FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
-       |  JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id
-       |)
-       |SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
-       |WHERE rn <= 3""".stripMargin
+       |$ivfCandCte
+       |$ivfTop3Sql""".stripMargin
 
   /** IVF recall key SQL (mirrors
     * [[graft.dataprep.Similarity.ivfRecallAtK]]): recall@3 of the
@@ -268,14 +275,11 @@ object DataPrepQueries {
   private def ivfRecallSql(nprobe: Int): String =
     s"""$ivfSql,
        |${ivfProbesCte(nprobe)},
+       |$ivfCandCte,
        |approx AS (
        |  SELECT q_id, vec_id FROM (
-       |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
-       |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-       |                                            CAST(q.q_emb AS DOUBLE[])), 4) DESC,
-       |               e.vec_id) AS rn
-       |    FROM embeddings e JOIN af a ON e.vec_id = a.vec_id
-       |    JOIN qs q ON a.cell = q.probe AND e.vec_id <> q.q_id)
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM cand)
        |  WHERE rn <= 3
        |),
        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
@@ -348,7 +352,10 @@ object DataPrepQueries {
         |WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id""").stripMargin)(
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // survivors passes every corpus column through (usable content,
+        // not a re-join list); the oracle key checks the bookkeeping pair
         Dedup.survivors(docs, Dedup.minhashPairs(docs))
+          .select(col("doc_id"), col("n_members"))
       }),
 
     "dedup_simhash" -> Q(

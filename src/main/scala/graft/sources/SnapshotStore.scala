@@ -221,23 +221,76 @@ final class SnapshotStore private (rootStr: String) {
 
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
+  /** True iff (stage, marker) has committed rows AND every data
+    * location its manifests record is still fully present on disk —
+    * the resume-or-recompute probe for callers that still hold the
+    * recomputable source (Dedup's sketch resume): a
+    * committed-but-externally-wiped snapshot (a state [[manifests]]
+    * and [[migrateLegacyPartitioned]] tolerate) reads as dead here, so
+    * the caller recomputes instead of crashing in [[read]] or
+    * mid-scan on missing files (r5 review). Conservative in the safe
+    * direction only: a false `true` (files vanish between probe and
+    * read) fails exactly like today's read; a false `false` merely
+    * recomputes. */
+  def hasLiveData(stage: String, marker: String): Boolean = {
+    val ms = manifests().filter(m =>
+      m.stage == stage && m.marker == marker && m.rows > 0)
+    def dirHasParquet(d: String): Boolean = {
+      val p = Paths.get(d)
+      Files.isDirectory(p) && {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.exists(f =>
+          Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+        finally walk.close()
+      }
+    }
+    ms.nonEmpty && ms.forall { m =>
+      if (m.files.nonEmpty) m.files.forall(f => Files.exists(Paths.get(f)))
+      else dirHasParquet(m.dir)
+    }
+  }
+
   /** `replaceExisting` is passed ONLY by the legacy-migration rewrite
     * (which overwrites its own `<id>.json`): the JDK leaves
     * replace-on-atomic-move implementation-specific (POSIX rename
     * replaces; other filesystems may throw), so that one caller gets a
-    * replace-move fallback. Fresh commits keep the strict atomic move —
-    * a duplicate-id race must fail loudly, never clobber a committed
-    * manifest, and a commit must never degrade to a non-atomic write. */
-  private def writeManifest(m: Manifest, replaceExisting: Boolean = false): Unit = {
+    * replace-move fallback. Fresh commits claim the id with
+    * `Files.createLink` — link(2) is atomic AND exclusive (EEXIST),
+    * whereas ATOMIC_MOVE on POSIX is rename(2), which silently
+    * REPLACES an existing target, so a move alone cannot enforce the
+    * duplicate-id fail-loudly contract against a cross-process racer
+    * (r5 review). A duplicate-id race must fail loudly, never clobber
+    * a committed manifest, and a commit must never degrade to a
+    * non-atomic write. */
+  private[sources] def writeManifest(m: Manifest,
+                                     replaceExisting: Boolean = false): Unit = {
     Files.createDirectories(snapsDir) // recreate if wiped since construction
     val tmp = Files.createTempFile(snapsDir, s".tmp-${m.id}", ".tmp")
     Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
     val dst = snapsDir.resolve(s"${m.id}.json")
-    try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AtomicMoveNotSupportedException if replaceExisting =>
-        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+    if (replaceExisting) {
+      try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else {
+      try { Files.createLink(dst, tmp); Files.delete(tmp) }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // the dot-prefixed orphan would be invisible, but tidy
+          throw new IllegalStateException(
+            s"snapshot id ${m.id} already committed in $root — concurrent " +
+              "writers must share one SnapshotStore.forRoot instance per JVM " +
+              "and one driver per store across processes", e)
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // hard links unavailable (exotic fs): fall back to the atomic
+          // move; duplicate-id exclusivity then follows that fs's move
+          // semantics, which is the strongest guarantee it offers
+          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
   }
 

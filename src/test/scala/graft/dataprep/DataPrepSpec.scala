@@ -53,8 +53,13 @@ class DedupSpec extends SparkSuite {
     val corpus = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
       .withColumn("text", lit("x"))
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
-    val s = Dedup.survivors(corpus, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.survivors(corpus, pairs)
+    // the survivor frame IS the deduplicated corpus: every input column
+    // rides through, n_members appended (r5 review)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_members"))
+    val rows = out.collect()
+    assert(rows.forall(_.getString(1) == "x"))
+    val s = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(s == Map(10L -> 3L, 20L -> 2L, 30L -> 1L))
     // invariant: survivors' member counts cover the corpus exactly
     assert(s.values.sum == 6L)
@@ -63,7 +68,7 @@ class DedupSpec extends SparkSuite {
   test("survivors over real minhash pairs: partition of the corpus") {
     // exact dup (0,1) and near dup (0,2) share a cluster via doc 0
     val pairs = Dedup.minhashPairs(docs)
-    val s = Dedup.survivors(docs, pairs).collect()
+    val s = Dedup.survivors(docs, pairs).select("doc_id", "n_members").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lab = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -187,6 +192,18 @@ class DedupSpec extends SparkSuite {
     assert(store2.manifests().exists(m =>
       m.stage == "minhash_sig" && m.marker == "minhash_sig-e1" && m.rows == 0))
     assert(pairs(Dedup.minhashPairs(empty, resume = Some((store2, "e1")))).isEmpty)
+
+    // a committed sketch whose DATA was externally wiped (manifest
+    // survives — a state the store tolerates elsewhere) must fall back
+    // to recomputing from the corpus we still hold, not crash the
+    // restart in read()'s all-snapshots-empty check (r5 review)
+    val dir3 = java.nio.file.Files.createTempDirectory("dedup-resume3").toString
+    val store3 = graft.sources.SnapshotStore.forRoot(dir3)
+    assert(pairs(Dedup.minhashPairs(docs, resume = Some((store3, "c3")))) == plainMh)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(dir3).resolve("data").toFile)
+    assert(!store3.hasLiveData("minhash_sig", "minhash_sig-c3"))
+    assert(pairs(Dedup.minhashPairs(docs, resume = Some((store3, "c3")))) == plainMh)
   }
 
   test("ngram-jaccard blocking is skew-safe on zipfian leading tokens") {

@@ -359,6 +359,27 @@ class SnapshotStoreSpec extends SparkSuite {
       .where(col("p") === "p1").count() == 1)
   }
 
+  test("a duplicate snapshot id fails loudly and never clobbers the committed manifest") {
+    import spark.implicits._
+    val (store, dir) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "t", "m1")
+    val committed = store.manifests().last
+    // simulate the cross-process racer the contract guards against:
+    // another JVM computed the same next id and writes its manifest.
+    // POSIX rename(2) silently REPLACES, so an ATOMIC_MOVE-based commit
+    // would clobber `committed` here — the claim must be link-based
+    // (exclusive) to fail loudly instead (r5 review)
+    val racer = committed.copy(marker = "racer", rows = 999L)
+    val e = intercept[IllegalStateException](store.writeManifest(racer))
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    assert(store.manifests().last == committed) // intact, not clobbered
+    // the loser's temp file is cleaned up, not left as a dot orphan
+    val snaps = java.nio.file.Paths.get(dir).resolve("_snapshots")
+    val st = Files.list(snaps)
+    val names = try st.toArray.map(_.toString.split('/').last) finally st.close()
+    assert(!names.exists(_.startsWith(".")), names.mkString(","))
+  }
+
   test("orphan temp manifest files never brick the store") {
     import spark.implicits._
     val (store, dir) = freshStore()
