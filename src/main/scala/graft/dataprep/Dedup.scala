@@ -373,18 +373,39 @@ object Dedup {
     * reporting and loss re-weighting. `documents` must not already
     * have an `n_members` column.
     *
+    * The canonical survivor is the cluster's min doc_id PRESENT in
+    * `documents` — not the pair graph's min. The two can diverge
+    * (pairs computed on a fuller corpus than the frame being deduped,
+    * e.g. resumed sketches against a re-filtered corpus); anchoring
+    * on the graph min would then anti-join away every present member
+    * of a family whose graph-canonical doc is absent — keep-ZERO, not
+    * keep-one (r5 review). `n_members` likewise counts present
+    * members only, so it always partitions THIS corpus exactly.
+    *
     * Plan shape at 100 TB: the drop-list (non-canonical cluster
     * members) and the size table are both dup-graph-sized ≪ corpus;
-    * the corpus-sized frame flows through ONE left-anti join + one
-    * left join against them — AQE sees the dictionary-sized sides and
-    * broadcasts, so the corpus is never shuffled, and the payload
-    * columns ride the same stream either way. */
+    * the present-member restriction costs one extra corpus scan
+    * pruned to doc_id against the broadcast label table; the
+    * corpus-sized frame then flows through ONE left-anti join + one
+    * left join against the small sides — AQE sees the
+    * dictionary-sized sides and broadcasts, so the corpus is never
+    * shuffled, and the payload columns ride the same stream either
+    * way. */
   def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val lab = clusters(pairs)
-    val dropList = lab.where(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
-    val sizes = lab.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .select(col("cluster_id").as("doc_id"), col("n_members"))
+    // dup-graph-sized: cluster labels restricted to docs that exist
+    // in the frame being deduplicated. Persisted (same lifetime story
+    // as [[materialize]]) — it feeds fam AND the drop-list, and
+    // without the cache each reference re-runs the doc_id-pruned
+    // corpus scan behind it
+    val present = materialize(
+      documents.select(col("doc_id")).join(lab, Seq("doc_id")))
+    val fam = present.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("surv"), count(lit(1)).as("n_members"))
+    val dropList = present.join(fam, Seq("cluster_id"))
+      .where(col("doc_id") =!= col("surv"))
+      .select(col("doc_id"))
+    val sizes = fam.select(col("surv").as("doc_id"), col("n_members"))
     documents
       .join(dropList, Seq("doc_id"), "left_anti")
       .join(sizes, Seq("doc_id"), "left")

@@ -231,9 +231,16 @@ object GraftCatalog {
                 // original commit did; pre-r5 manifests (no recorded
                 // SQL) keep the old reject — guessing a transform from
                 // its name would silently mis-partition the stage.
+                // The replay source is the LATEST manifest's layout —
+                // same rule as `parts` below. Filtering for "the last
+                // manifest that ever HAD a hidden spec" would resurrect
+                // a transform the stage has since evolved away from
+                // (hidden partitioning's whole pitch is that the layout
+                // can evolve), mis-partitioning the append under the
+                // abandoned spec (r5 review).
                 val stageMs = store.manifests().filter(_.stage == stage)
                 val hiddenReplay: Seq[(String, org.apache.spark.sql.Column)] =
-                  stageMs.filter(_.hidden.nonEmpty).lastOption match {
+                  stageMs.lastOption.filter(_.hidden.nonEmpty) match {
                     case None => Nil
                     case Some(m) =>
                       require(m.hiddenExprs.length == m.hidden.length,

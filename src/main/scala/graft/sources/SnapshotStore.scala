@@ -362,6 +362,26 @@ final class SnapshotStore private (rootStr: String) {
     validateStageName(stage)
     val existing = manifests() // one listing: marker check AND next id
     if (existing.exists(_.marker == marker)) return None
+    // One stage = ONE layout spec. Partitioned snapshots share a
+    // single hive tree (part-<stage>), and Spark's partition discovery
+    // rejects mixed column sets inside it
+    // (CONFLICTING_PARTITION_COLUMN_NAMES), so a commit that CHANGES
+    // the stage's layout spec would poison every later read of the
+    // stage — it fails HERE, loudly, instead (r5 review; was a
+    // documented "should" left to caller discipline). The contract is
+    // the column-NAME spec: transforms may be respelled as long as
+    // they produce the same layout columns. Layout evolution = a new
+    // stage.
+    existing.filter(_.stage == stage).lastOption.foreach { prev =>
+      require(prev.parts == partitionBy &&
+          prev.hidden == hiddenPartitions.map(_._1),
+        s"stage '$stage' is laid out as (parts=[${prev.parts.mkString(",")}], " +
+          s"hidden=[${prev.hidden.mkString(",")}]); a commit with " +
+          s"(parts=[${partitionBy.mkString(",")}], " +
+          s"hidden=[${hiddenPartitions.map(_._1).mkString(",")}]) would poison " +
+          "the stage's shared hive tree for every reader — write a new stage " +
+          "to evolve the layout")
+    }
     val t0 = System.nanoTime()
     val id = existing.lastOption.map(_.id).getOrElse(0L) + 1L
     val partitioned = partitionBy.nonEmpty || hiddenPartitions.nonEmpty
@@ -424,8 +444,16 @@ final class SnapshotStore private (rootStr: String) {
         val sqls = hiddenPartitions.map { case (n, _) =>
           aliases.find(_.name == n).get.child.sql }
         // the recorded SQL must parse back — verify NOW, not at the
-        // first SQL INSERT months later
-        sqls.foreach(s => org.apache.spark.sql.functions.expr(s))
+        // first SQL INSERT months later. expr() alone verifies NOTHING
+        // in Spark 4 (Column parsing is deferred to analysis), so run
+        // the same analysis the INSERT replay performs: parse + resolve
+        // against the logical frame. Unparseable or unresolvable
+        // (UDF-backed, lambda-variable) forms throw here and degrade
+        // the stage to programmatic-append-only via the catch below
+        sqls.foreach { s =>
+          df.select(org.apache.spark.sql.functions.expr(s))
+            .queryExecution.assertAnalyzed()
+        }
         sqls
       } catch { case scala.util.control.NonFatal(_) => Nil }
     writeManifest(Manifest(id, finalDir, stage, marker, rows,

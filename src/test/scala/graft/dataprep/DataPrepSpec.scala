@@ -65,6 +65,20 @@ class DedupSpec extends SparkSuite {
     assert(s.values.sum == 6L)
   }
 
+  test("survivors: canonical re-anchored to the min doc PRESENT in the corpus") {
+    // pair graph computed on a FULLER corpus than the frame being
+    // deduped (resumed sketches vs a re-filtered corpus): the graph
+    // canonical (doc 5) is absent. Anchoring on the graph min would
+    // anti-join away 10 AND 11 — the family vanishes (keep-zero) and
+    // n_members stops partitioning the corpus (r5 review)
+    val corpus = Seq(10L, 11L, 30L).toDF("doc_id").withColumn("text", lit("x"))
+    val pairs = Seq((5L, 10L), (5L, 11L)).toDF("doc_a", "doc_b")
+    val s = Dedup.survivors(corpus, pairs).select("doc_id", "n_members")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(10L -> 2L, 30L -> 1L))
+    assert(s.values.sum == 3L) // partitions THIS corpus exactly
+  }
+
   test("survivors over real minhash pairs: partition of the corpus") {
     // exact dup (0,1) and near dup (0,2) share a cluster via doc 0
     val pairs = Dedup.minhashPairs(docs)

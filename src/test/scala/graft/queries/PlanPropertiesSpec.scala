@@ -108,12 +108,14 @@ class PlanPropertiesSpec extends SparkSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val s = graft.dataprep.Dedup.survivors(docs, pairs)
     assert(s.count() == 4997)
-    // the FINAL adaptive plan must take both corpus-side joins (the
-    // anti join against the drop-list, the left join against the size
-    // table) as broadcasts — an SMJ here would shuffle the corpus on
-    // doc_id at 100 TB for dictionary-sized right sides
+    // the FINAL adaptive plan must take every corpus-side join (the
+    // present-member restriction, the anti join against the drop-list,
+    // the left join against the size table) as broadcasts — an SMJ
+    // anywhere here would shuffle the corpus on doc_id at 100 TB for
+    // dictionary-sized right sides
     val p = s.queryExecution.executedPlan.toString
-    assert(p.split("BroadcastHashJoin").length - 1 == 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(1500))
   }
 
   test("batch-ANN probe broadcast is size-gated: known-large query sets shuffle-join") {

@@ -576,4 +576,67 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(ins.getMessage.contains("read-only physical view"),
       s"expected the layout-view write reject, got: ${ins.getMessage}")
   }
+
+  test("a non-round-tripping hidden transform degrades the stage to programmatic-append-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val (store, dir) = freshStore()
+    // a UDF-backed transform: its analyzed .sql form ("UDF(ts)") is
+    // not resolvable SQL. expr() parses LAZILY in Spark 4, so only an
+    // eager parse+resolve at commit time catches this (r5 review) —
+    // without it the broken SQL is recorded and the first INSERT dies
+    // months later mid-commit instead of hitting the designed reject
+    val dayUdf = udf((ts: Long) => ts / 86400L)
+    store.commit(Seq((86410L, "a")).toDF("ts", "v"), "evu", "m1",
+      hiddenPartitions = Seq("day" -> dayUdf(col("ts"))))
+    val m = store.manifests().last
+    assert(m.hidden == Seq("day") && m.hiddenExprs.isEmpty, m)
+    // the layout itself committed fine and reads back logically
+    assert(store.read(spark, stage = Some("evu")).columns.toSeq == Seq("ts", "v"))
+
+    val cat = s"snapu${math.abs(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", dir)
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.evu VALUES (5, 'x')"))
+    assert(e.getMessage.contains("recorded without replayable transform SQL"),
+      s"expected the programmatic-append-only reject, got: ${e.getMessage}")
+  }
+
+  test("a commit that changes the stage's layout spec is rejected, not written") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (store, _) = freshStore()
+    // partitioned snapshots of one stage share ONE hive tree; Spark's
+    // partition discovery rejects mixed column sets inside it
+    // (CONFLICTING_PARTITION_COLUMN_NAMES), so a spec-changing commit
+    // would poison every later read of the stage. It must fail AT THE
+    // WRITE, loudly — previously a documented "should" left to caller
+    // discipline, and the INSERT replay path could resurrect an
+    // abandoned transform from the mixed state (r5 review)
+    val rows = Seq((86410L, "a")).toDF("ts", "v")
+    store.commit(rows, "evl", "m1",
+      hiddenPartitions = Seq("day" -> (col("ts").cast("long") / 86400L).cast("long")))
+    def rejects(label: String)(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("poison the stage's shared hive tree"),
+        s"$label: expected the layout-spec reject, got: ${e.getMessage}")
+    }
+    rejects("hidden transform renamed")(store.commit(rows, "evl", "m2",
+      hiddenPartitions = Seq("hour" -> (col("ts").cast("long") / 3600L).cast("long"))))
+    rejects("hidden dropped")(store.commit(rows, "evl", "m3"))
+    rejects("hidden swapped for explicit")(
+      store.commit(rows, "evl", "m4", partitionBy = Seq("v")))
+    // nothing leaked into the log or the tree, and the stage still reads
+    assert(store.manifests().count(_.stage == "evl") == 1)
+    assert(store.read(spark, stage = Some("evl")).count() == 1)
+    // the SAME spec keeps committing fine (respelled transform is OK —
+    // the contract is the column-name spec)
+    assert(store.commit(rows, "evl", "m5",
+      hiddenPartitions = Seq("day" -> col("ts").cast("long").divide(86400L).cast("long"))).nonEmpty)
+    assert(store.read(spark, stage = Some("evl")).count() == 2)
+    // a spec change under a NEW stage name is the supported evolution
+    assert(store.commit(rows, "evl_v2", "m6",
+      hiddenPartitions = Seq("hour" -> (col("ts").cast("long") / 3600L).cast("long"))).nonEmpty)
+  }
 }
