@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DataPrepQueries, KgQueries, Q, RelationalQueries}
+import graft.queries.{DataPrepQueries, GraphQueries, KgQueries, Q, RelationalQueries}
 
 /** Driver contract (SURVEY.md §3.2): one `queries` key per implemented
   * operator from SURVEY.md §2 plus the training-data operator set; each
@@ -13,7 +13,8 @@ import graft.queries.{DataPrepQueries, KgQueries, Q, RelationalQueries}
 object SparkEntry {
 
   private lazy val registry: Map[String, Q] =
-    RelationalQueries.all ++ KgQueries.all ++ DataPrepQueries.all
+    RelationalQueries.all ++ KgQueries.all ++ DataPrepQueries.all ++
+      GraphQueries.all
 
   /** Flagship query: the full KG pipeline (mention-detect →
     * candidate-generate → link-score → canonicalize → triple-emit) on

@@ -48,7 +48,7 @@ object ConnectedComponents {
     * sketch persist, VERDICT r3). Without one (this single-JVM sandbox)
     * rounds fall back to eager `localCheckpoint` — non-replicated
     * executor blocks, the documented single-node trade. */
-  private def materializeRound(df: DataFrame): DataFrame =
+  private[kg] def materializeRound(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // cache first: an eager checkpoint on an unpersisted frame runs
       // the plan TWICE (the eager action, then the checkpoint-write

@@ -1,0 +1,156 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Downstream analytics over the CONSTRUCTED graph — the consumption
+  * side of kg_construct. Once the pipeline materializes triples (a
+  * SnapshotStore stage in production), these operators answer what a KG
+  * user actually asks of it: which entities are central (degree,
+  * PageRank), which co-occur (co-mention graph), how clustered the
+  * neighborhood is (triangles). All are deterministic and
+  * DuckDB-expressible so the driver oracle replays them bit-exact.
+  *
+  * Scale notes (100 TB design point):
+  *  - inputs are the TRIPLE table — already corpus-REDUCED by the
+  *    pipeline — never the corpus itself;
+  *  - co-mention pairs are generated IN-ROW from each doc's sorted
+  *    entity set (one shuffle to docs, one to pairs). The naive
+  *    formulation — self-joining the mention-sized frame on doc — scans
+  *    and shuffles the big frame twice and is quadratic per doc with no
+  *    cap; the in-row form computes the subtree once and caps head docs
+  *    (`maxPerDoc`) before any pair exists;
+  *  - the pair graph is sparsified to per-node top-k strongest
+  *    neighbors (one window over src) BEFORE any iterative algorithm,
+  *    so PageRank costs O(k·nodes) per iteration regardless of how
+  *    dense raw co-occurrence is (head entities co-occur with
+  *    everything — unsparsified, the fixpoint join would be quadratic);
+  *  - PageRank is fixed-point INTEGER arithmetic (contribution =
+  *    rank div out-degree on a 10^6 scale; damping 0.85 as 85/100), so
+  *    results are bit-exact across engines, partitionings, and
+  *    reduction orders — no float-summation-order dependence — and each
+  *    round is lineage-truncated ([[ConnectedComponents.materializeRound]])
+  *    exactly like the CC fixpoint, keeping plan depth constant across
+  *    iterations.
+  */
+object GraphAnalytics {
+
+  /** Per-entity degree profile of the triple table: one hash aggregate
+    * (the two DISTINCT aggregates plan a single Expand — 3× the input
+    * rows map-side, still one shuffle). */
+  def degrees(triples: DataFrame): DataFrame =
+    triples.groupBy(col("subj"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("pred")).as("n_preds"),
+        countDistinct(col("obj")).as("n_objs"))
+
+  /** Per-node neighbor budget for the sparsified co-mention graph. */
+  val DefaultTopK = 8
+
+  /** Head-document cap: docs mentioning more entities than this keep
+    * only the first `maxPerDoc` (sorted lexicographically — a
+    * deterministic cap). At the design point this bounds the per-doc
+    * pair fan-out to maxPerDoc²/2 regardless of doc size. */
+  val DefaultMaxPerDoc = 10000
+
+  /** Sparsified co-mention graph over `mentionedIn` triples
+    * (subj = entity, obj = doc): directed (src, dst, weight) where dst
+    * is one of src's `k` strongest co-mentioned neighbors, weight = the
+    * number of shared docs, ties broken by dst asc (total order →
+    * deterministic under any partitioning). */
+  def comentionTopK(mentionTriples: DataFrame, k: Int = DefaultTopK,
+                    maxPerDoc: Int = DefaultMaxPerDoc): DataFrame = {
+    val perDoc = mentionTriples
+      .select(col("subj").as("entity"), col("obj").as("doc"))
+      .groupBy(col("doc"))
+      // collect_set: triples are deduped, but the set keeps the cap
+      // honest if a caller feeds raw (entity, doc) rows instead
+      .agg(slice(array_sort(collect_set(col("entity"))), 1, maxPerDoc).as("es"))
+    val pairs = perDoc
+      // in-row unordered pairs (e1 < e2 by sort position): element i
+      // pairs with every later element — no self-join, subtree read once
+      .select(explode(flatten(transform(col("es"), (x, i) =>
+        transform(slice(col("es"), i + lit(2), size(col("es"))),
+          y => struct(x.as("e1"), y.as("e2")))))).as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("weight"))
+      // both symmetrization legs read pairs: persist so the corpus→pair
+      // subtree runs once (same DISK_ONLY contract as the dedup sketches)
+      .persist(StorageLevel.DISK_ONLY)
+    val sym = pairs
+      .select(col("e1").as("src"), col("e2").as("dst"), col("weight"))
+      .unionByName(pairs
+        .select(col("e2").as("src"), col("e1").as("dst"), col("weight")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("weight").desc, col("dst"))
+    sym.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** PageRank scale: initial rank per node (1.0 in fixed-point). */
+  val PrScale = 1000000L
+
+  /** Fixed-point integer PageRank over directed edges (src, dst):
+    * rank_0 = 10^6; rank_{k+1}(n) = 0.15·10^6 + 0.85·Σ_{(m,n)∈E}
+    * (rank_k(m) div outdeg(m)), all in BIGINT arithmetic (div =
+    * integral division), so every engine and every reduction order
+    * produces the same integers. Nodes = distinct edge sources (in a
+    * top-k graph every participating node has out-edges, so none
+    * dangle); nodes without in-edges keep the 0.15 base via the left
+    * join. The edge+degree frame is persisted once (DISK_ONLY — same
+    * recompute-from-lineage contract as the dedup sketches); each
+    * round's rank frame is lineage-truncated so the plan stays
+    * constant-depth however many iterations run. */
+  def pagerankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pagerankInt: iters must be >= 1, got $iters")
+    // edges feed both the degree agg and the join frame — persist first
+    // so the (possibly corpus-derived) edge subtree materializes once
+    val e0 = edges.select(col("src"), col("dst")).persist(StorageLevel.DISK_ONLY)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e0.join(deg, "src").persist(StorageLevel.DISK_ONLY)
+    val nodes = deg.select(col("src").as("n")).persist(StorageLevel.DISK_ONLY)
+    var pr = nodes.select(col("n"), lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(pr.withColumnRenamed("n", "src"), "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .withColumnRenamed("dst", "n")
+      pr = ConnectedComponents.materializeRound(
+        nodes.join(contribs, Seq("n"), "left")
+          .select(col("n"),
+            (lit(150000L) +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr")))
+    }
+    pr
+  }
+
+  /** Triangle census of the MUTUAL top-k graph: an undirected edge
+    * exists where both endpoints rank each other in their top-k (the
+    * standard reciprocity filter for kNN-graph clustering). Triangles
+    * are counted once via the e1 < e2 canonical orientation. Returns a
+    * single row (n_triangles, n_edges). The mutual edge set is
+    * persisted: it feeds three join legs, and at k·nodes edges the
+    * enumeration is bounded by k²·nodes candidates — top-k
+    * sparsification is what keeps a triangle count feasible at all on
+    * a dense co-occurrence graph. */
+  def mutualTriangles(edges: DataFrame): DataFrame = {
+    // two reciprocity-join legs read the edge frame: materialize once
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.DISK_ONLY)
+    val mut = e.as("a")
+      .join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("e1"), col("a.dst").as("e2"))
+      .persist(StorageLevel.DISK_ONLY)
+    val tri = mut.as("p1")
+      .join(mut.as("p2"), col("p1.e2") === col("p2.e1"))
+      .join(mut.as("p3"),
+        col("p3.e1") === col("p1.e1") && col("p3.e2") === col("p2.e2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(mut.agg(count(lit(1)).as("n_edges")))
+  }
+}

@@ -106,8 +106,42 @@ object KgQueries {
       |  SELECT n AS entity_id, min(m) AS canonical_id FROM reach GROUP BY n
       |)""".stripMargin
 
+  /** lkc (links with canonical ids) + media CTEs, shared by the triple
+    * emit and (via [[tripleChain]]) the graph-analytics oracles. */
+  private val lkcMediaSql: String =
+    """lkc AS (
+      |  SELECT l.doc_id, l.span_idx, l.coarse_type,
+      |         coalesce(c.canonical_id, l.entity_id) AS entity
+      |  FROM links l LEFT JOIN canon c ON l.entity_id = c.entity_id
+      |),
+      |media AS (
+      |  SELECT doc_id AS m_doc, span_idx AS m_idx, media_ref
+      |  FROM spans WHERE kind <> 'text'
+      |)""".stripMargin
+
+  /** The emitted triple table as a CTE — the oracle mirror of
+    * graft.kg.Engine.triples' output contract. */
+  private val triplesCteSql: String =
+    """triples AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT entity AS subj, 'mentionedIn' AS pred, 'doc:' || doc_id AS obj FROM lkc
+      |    UNION ALL
+      |    SELECT entity, 'hasType', coarse_type FROM lkc
+      |    UNION ALL
+      |    SELECT l.entity, 'depictedIn', m.media_ref
+      |    FROM lkc l JOIN media m ON l.doc_id = m.m_doc
+      |     AND (l.span_idx = m.m_idx - 1 OR l.span_idx = m.m_idx + 1))
+      |)""".stripMargin
+
   private def withRec(ctes: String*)(body: String): String =
     "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" + body
+
+  /** Full pipeline-to-triples CTE chain plus caller CTEs: the shared
+    * oracle prefix for every query over the CONSTRUCTED graph
+    * (graft.queries.GraphQueries). */
+  private[queries] def tripleChain(extra: String*)(body: String): String =
+    withRec(Seq(spansSql, gazSql, mentionsSql, anchorSql, linksSql,
+      edgesSql, canonSql, lkcMediaSql, triplesCteSql) ++ extra: _*)(body)
 
   val all: Map[String, Q] = Map(
 
@@ -182,24 +216,7 @@ object KgQueries {
       }),
 
     "kg_triples" -> Q(
-      withRec(spansSql, gazSql, mentionsSql, anchorSql, linksSql, edgesSql, canonSql,
-        """lkc AS (
-          |  SELECT l.doc_id, l.span_idx, l.coarse_type,
-          |         coalesce(c.canonical_id, l.entity_id) AS entity
-          |  FROM links l LEFT JOIN canon c ON l.entity_id = c.entity_id
-          |),
-          |media AS (
-          |  SELECT doc_id AS m_doc, span_idx AS m_idx, media_ref
-          |  FROM spans WHERE kind <> 'text'
-          |)""".stripMargin)(
-        """SELECT DISTINCT * FROM (
-          |  SELECT entity AS subj, 'mentionedIn' AS pred, 'doc:' || doc_id AS obj FROM lkc
-          |  UNION ALL
-          |  SELECT entity, 'hasType', coarse_type FROM lkc
-          |  UNION ALL
-          |  SELECT l.entity, 'depictedIn', m.media_ref
-          |  FROM lkc l JOIN media m ON l.doc_id = m.m_doc
-          |   AND (l.span_idx = m.m_idx - 1 OR l.span_idx = m.m_idx + 1))""".stripMargin))(
+      tripleChain()("SELECT subj, pred, obj FROM triples"))(
       (s, d) => Stages.triples(s, d)),
 
     "agg_custom_pr" -> Q(

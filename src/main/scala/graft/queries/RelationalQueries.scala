@@ -354,6 +354,54 @@ object RelationalQueries {
           transform(array_sort(collect_list(col("l_linenumber"))),
             x => x.cast("string")), ",").as("lines"))),
 
+    "agg_median" -> Q(
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
+      (s, d) =>
+        // A: exact continuous median (sort-based percentile — the exact
+        // baseline next to A3's HLL sketch; at corpus scale you'd reach
+        // for approx_percentile, but the EXACT form is what an oracle
+        // can replay). Parity holds because l_quantity is integer-valued
+        // in this data: the 0.5-interpolation midpoint (a+b)/2 is exact
+        // in both engines' double arithmetic.
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+            count(lit(1)).as("n"))),
+
+    "pivot" -> Q(
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+         |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+         |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O"
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
+      (s, d) =>
+        // Long-to-wide pivot with an EXPLICIT value list: without it
+        // Spark runs an extra distinct-values job over the whole table
+        // just to name the columns — never acceptable at scale. With
+        // the list this is one hash agg (grouping key × value set
+        // folded map-side), no extra pass.
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))),
+
+    "unpivot" -> Q(
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part""".stripMargin)(
+      (s, d) =>
+        // Wide-to-long unpivot (melt): a pure per-row Expand — no
+        // shuffle, stays inside whole-stage codegen; the scan prunes to
+        // exactly the id + value columns.
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")), "metric", "val")),
+
     // ---------- W: windows ----------
     "win_rank" -> Q(
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
@@ -423,6 +471,28 @@ object RelationalQueries {
         iv.withColumn("prev_max_end", max(col("end_pos")).over(w))
           .where(col("prev_max_end").isNull || col("begin_pos") >= col("prev_max_end"))
           .select("grp", "begin_pos", "end_pos", "l_orderkey", "l_linenumber")
+      }),
+
+    "win_ntile" -> Q(
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS bucket4,
+        |  percent_rank() OVER w AS p_rank,
+        |  cume_dist() OVER w AS c_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin)(
+      (s, d) => {
+        // W: distribution window functions. The order key is a TOTAL
+        // order (price, then key), so percent_rank/cume_dist are single
+        // exact integer ratios — deterministic doubles both engines.
+        // Spark's ntile is IntegerType; cast to DuckDB's BIGINT.
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("bucket4"),
+          percent_rank().over(w).as("p_rank"),
+          cume_dist().over(w).as("c_dist"))
       }),
 
     // ---------- O: sort / top-k / set ops ----------
