@@ -103,7 +103,12 @@ object GraphAnalytics {
     * join. The edge+degree frame is persisted once (DISK_ONLY — same
     * recompute-from-lineage contract as the dedup sketches); each
     * round's rank frame is lineage-truncated so the plan stays
-    * constant-depth however many iterations run. */
+    * constant-depth however many iterations run.
+    *
+    * Overflow bound: total mass is conserved (a node distributes at
+    * most its own rank), so every rank ≤ nodes·10^6 and the damping
+    * product 85·Σ stays under 2^63 up to ~10^11 nodes; beyond that the
+    * ANSI-mode multiply throws loudly rather than corrupting ranks. */
   def pagerankInt(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pagerankInt: iters must be >= 1, got $iters")
     // edges feed both the degree agg and the join frame — persist first
@@ -117,6 +122,53 @@ object GraphAnalytics {
       val contribs = ed
         .join(pr.withColumnRenamed("n", "src"), "src")
         .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .withColumnRenamed("dst", "n")
+      pr = ConnectedComponents.materializeRound(
+        nodes.join(contribs, Seq("n"), "left")
+          .select(col("n"),
+            (lit(150000L) +
+              expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr")))
+    }
+    pr
+  }
+
+  /** Edge-share precision for [[pagerankIntW]]: each out-edge's share
+    * of its source's rank, in parts per million. */
+  val ShareScale = 1000000L
+
+  /** WEIGHTED fixed-point integer PageRank over (src, dst, weight):
+    * rank flows along edges proportionally to edge weight instead of
+    * uniformly. Shares are pre-normalized ONCE on the persisted edge
+    * frame as integer millionths — share = (weight·10^6) div Σ_out
+    * weight — so the per-iteration contribution is
+    * (rank·share) div 10^6: pure BIGINT arithmetic, bit-exact across
+    * engines like [[pagerankInt]], and mass-conserving (Σ shares ≤
+    * 10^6 per node under integral division). On a co-mention graph
+    * this is the natural variant: an entity's rank should flow mostly
+    * to the neighbors it actually shares documents with, not equally
+    * to a rare co-occurrence. Same iteration/truncation structure as
+    * the unweighted form.
+    *
+    * Overflow bound: rank·share ≤ rank·10^6, so ranks stay safe while
+    * max rank < 2^63/10^6 ≈ 9.2·10^12 — i.e. unless a single entity
+    * concentrates ~10^7× the average mass; ANSI mode throws loudly
+    * past that. */
+  def pagerankIntW(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pagerankIntW: iters must be >= 1, got $iters")
+    val e0 = edges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.DISK_ONLY)
+    val sw = e0.groupBy(col("src")).agg(sum(col("weight")).as("sw"))
+    val ed = e0.join(sw, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(weight * $ShareScale) div sw").as("share"))
+      .persist(StorageLevel.DISK_ONLY)
+    val nodes = sw.select(col("src").as("n")).persist(StorageLevel.DISK_ONLY)
+    var pr = nodes.select(col("n"), lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(pr.withColumnRenamed("n", "src"), "src")
+        .select(col("dst"), expr(s"(pr * share) div $ShareScale").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .withColumnRenamed("dst", "n")
       pr = ConnectedComponents.materializeRound(

@@ -371,7 +371,7 @@ object RelationalQueries {
             count(lit(1)).as("n"))),
 
     "pivot" -> Q(
-      s"""SELECT l_returnflag,
+      """SELECT l_returnflag,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
          |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))

@@ -91,6 +91,44 @@ class GraphAnalyticsSpec extends SparkSuite {
     assert(got == Map("A" -> 1850000L, "B" -> 1000000L, "D" -> 150000L))
   }
 
+  test("pagerankIntW: hand-computed weighted shares") {
+    // C <-> L1 (w=2), C <-> L2 (w=1).
+    // sw(C)=3: share(C→L1) = 2000000 div 3 = 666666,
+    //          share(C→L2) = 1000000 div 3 = 333333;
+    // sw(L1)=2, sw(L2)=1 → both shares 1000000.
+    // r1(C)  = 150000 + 85*((1e6*1e6 div 1e6) + (1e6*1e6 div 1e6))/100
+    //        = 150000 + 1700000 = 1850000
+    // r1(L1) = 150000 + 85*(1e6*666666 div 1e6)/100
+    //        = 150000 + 85*666666 div 100 = 150000 + 566666 = 716666
+    // r1(L2) = 150000 + 85*333333 div 100 = 150000 + 283333 = 433333
+    import spark.implicits._
+    val e = Seq(
+      ("C", "L1", 2L), ("C", "L2", 1L), ("L1", "C", 2L), ("L2", "C", 1L))
+      .toDF("src", "dst", "weight")
+    val got = GraphAnalytics.pagerankIntW(e, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("C" -> 1850000L, "L1" -> 716666L, "L2" -> 433333L))
+  }
+
+  test("pagerankIntW: uniform weights reproduce the unweighted ranks") {
+    import spark.implicits._
+    val pairs = Seq(("C", "L1"), ("C", "L2"), ("C", "L3"),
+      ("L1", "C"), ("L2", "C"), ("L3", "C"))
+    val ew = pairs.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "weight")
+    val e = pairs.toDF("src", "dst")
+    // With uniform weight w at every edge: share = (w·10^6) div (w·deg)
+    // = 10^6 div deg, and at rank_0 = 10^6 the weighted contribution
+    // (10^6·share) div 10^6 = share = 10^6 div deg — exactly the
+    // unweighted contribution. (Later iterations can drift by 1 from
+    // the different rounding points, so assert the exact-by-identity
+    // first iteration.)
+    val w1 = GraphAnalytics.pagerankIntW(ew, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u1 = GraphAnalytics.pagerankInt(e, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == u1)
+  }
+
   test("pagerankInt: rejects iters < 1") {
     val e = edges(("A", "B"))
     intercept[IllegalArgumentException] {

@@ -43,6 +43,71 @@ class PipelineSpec extends SparkSuite {
     assert(store2.manifests().size == nSnaps) // nothing recommitted
   }
 
+  test("runAnalytics: committed graph stages == declarative analytics; resume is a no-op") {
+    val out = Files.createTempDirectory("pipe-an").toString
+    val store = Pipeline.run(spark, sf, out)
+    Pipeline.runAnalytics(spark, store)
+
+    // stage content ≡ the declarative forms over the same corpus
+    val wantPr = GraphAnalytics.pagerankInt(
+      GraphAnalytics.comentionTopK(
+        Stages.triples(spark, sf).where(col("pred") === "mentionedIn")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotPr = store.read(spark, stage = Some("graph_pagerank"))
+      .collect().map(r => r.getAs[String]("n") -> r.getAs[Long]("pr")).toMap
+    assert(gotPr == wantPr && gotPr.nonEmpty)
+    val gotDeg = store.read(spark, stage = Some("graph_degree"))
+    assert(gotDeg.count() ==
+      GraphAnalytics.degrees(Stages.triples(spark, sf)).count())
+
+    // marker idempotence: a resumed analytics run recommits nothing
+    val nSnaps = store.manifests().size
+    Pipeline.runAnalytics(spark, store)
+    assert(store.manifests().size == nSnaps)
+
+    // the analytics never rescan the corpus: they read only committed
+    // stages, so the whole call plans ZERO parquet scans outside the
+    // store root
+    val storeRoot = java.nio.file.Paths.get(out).toAbsolutePath.toString
+    val out2 = Files.createTempDirectory("pipe-an2").toString
+    val store2 = Pipeline.run(spark, sf, out2)
+    val extScans = countScansOutside(out2) {
+      Pipeline.runAnalytics(spark, store2)
+    }
+    assert(extScans == 0,
+      s"runAnalytics planned $extScans parquet scans outside the store ($storeRoot)")
+  }
+
+  /** Count FileSourceScans over parquet NOT under `root` across all
+    * queries executed inside `body` (the inverse of countCorpusScans'
+    * filter — proves a consumer touches only committed stages). */
+  private def countScansOutside(root: String)(body: => Unit): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def count(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case s: FileSourceScanExec =>
+          val locs = s.relation.location.rootPaths.map(_.toString)
+          if (locs.exists(l => !l.contains(rootAbs))) 1 else 0
+        case other => other.children.map(count).sum +
+          other.subqueries.map(count).sum
+      }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = n.addAndGet(count(qe.executedPlan))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      org.apache.spark.graftbridge.TestListenerBridge.drain(spark.sparkContext)
+      n.get()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("crash-resume: half-done mention buckets are not recomputed, result identical") {
     val out = Files.createTempDirectory("pipe-resume").toString
     val store = graft.sources.SnapshotStore.forRoot(out)
