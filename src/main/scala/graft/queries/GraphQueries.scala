@@ -20,12 +20,16 @@ import graft.kg.{GraphAnalytics, Stages}
   */
 object GraphQueries {
 
+  /** Neighbor budget interpolated into the oracle SQL — tied to the
+    * Spark side's default so the two cannot drift apart. */
+  private val K = GraphAnalytics.DefaultTopK
+
   /** Sparsified co-mention CTEs shared by comention / pagerank /
     * triangles: SQL mirror of GraphAnalytics.comentionTopK (the
     * self-join pair formulation is equivalent to the in-row pair
     * generation as long as maxPerDoc does not bind — see caveat). */
   private val comentionSql: String =
-    """ment AS (
+    s"""ment AS (
       |  SELECT DISTINCT subj AS entity, obj AS doc FROM triples
       |  WHERE pred = 'mentionedIn'
       |),
@@ -43,7 +47,7 @@ object GraphQueries {
       |  SELECT src, dst, weight FROM (
       |    SELECT *, row_number() OVER (
       |      PARTITION BY src ORDER BY weight DESC, dst) AS rn
-      |    FROM sym) WHERE rn <= 8
+      |    FROM sym) WHERE rn <= $K
       |)""".stripMargin
 
   /** One integer-PageRank iteration as CTEs: contribution = pr div deg
@@ -95,15 +99,23 @@ object GraphQueries {
     "w0 AS (SELECT src AS n, CAST(1000000 AS BIGINT) AS pr FROM sw)",
     prwIterSql(1), prwIterSql(2), prwIterSql(3))
 
-  /** The constructed triple table, DISK_ONLY-persisted: all graph keys
-    * share ONE materialization per session — Spark's plan-keyed
-    * CacheManager dedupes the identical plan across keys — mirroring
-    * production, where analytics read the pipeline-COMMITTED triple
-    * stage (graft.kg.Pipeline.runAnalytics) instead of re-deriving the
-    * corpus chain per query. */
+  /** The constructed triple table, DISK_ONLY-persisted and MEMOIZED per
+    * (session, dir): all graph keys — and repeated calls to the same
+    * key — share ONE materialization, mirroring production, where
+    * analytics read the pipeline-COMMITTED triple stage
+    * (graft.kg.Pipeline.runAnalytics) instead of re-deriving the corpus
+    * chain per query. Memoizing the DataFrame INSTANCE matters: each
+    * Stages.triples call embeds a fresh gazetteer broadcast, so two
+    * builds are never plan-canonically equal and Spark's plan-keyed
+    * CacheManager would treat every call as a new cache entry (measured:
+    * per-key floors DOUBLED under naive per-call persist — each key paid
+    * a cache write nothing else could read). */
+  private val triplesCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
   private def triplesTable(s: org.apache.spark.sql.SparkSession, d: String) =
-    Stages.triples(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    triplesCache.computeIfAbsent((s, d), _ =>
+      Stages.triples(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
   private def mentionTriples(s: org.apache.spark.sql.SparkSession, d: String) =
     triplesTable(s, d).where(col("pred") === "mentionedIn")
