@@ -300,9 +300,15 @@ object Similarity {
     val rows = store.read(spark, stage = Some(stage), marker = Some(s"$stage-$marker"))
       .select(col("cell"), col("mu")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    require(rows.nonEmpty, s"ivf index '$stage-$marker': no centroid rows")
     require(rows.map(_._1).toSeq == (0 until rows.length),
       s"ivf index '$stage-$marker': cell ids must be 0..K-1, got " +
         rows.map(_._1).mkString(","))
+    // a model whose centroids disagree on dimension is corrupt: the
+    // assignment loop would index past the shorter vectors row by row
+    val dims = rows.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"ivf index '$stage-$marker': centroid dims inconsistent: ${dims.mkString(",")}")
     new IvfIndex(rows.length, spark.sparkContext.broadcast(rows.map(_._2)))
   }
 

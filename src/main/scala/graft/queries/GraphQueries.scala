@@ -112,10 +112,14 @@ object GraphQueries {
     * a cache write nothing else could read). */
   private val triplesCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
-  private def triplesTable(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def triplesTable(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // a long-lived JVM cycling sessions must not pin dead sessions (and
+    // their plans) through the memo — evict entries whose context stopped
+    triplesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     triplesCache.computeIfAbsent((s, d), _ =>
       Stages.triples(s, d)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+  }
 
   private def mentionTriples(s: org.apache.spark.sql.SparkSession, d: String) =
     triplesTable(s, d).where(col("pred") === "mentionedIn")

@@ -391,6 +391,14 @@ class SimilaritySpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.loadIvf(spark, store, "bad"))
     assert(e.getMessage.contains("0..K-1"), e.getMessage)
+
+    // ...and so must ragged centroids (dimension disagreement would
+    // index past the shorter vectors inside the assignment loop)
+    store.commit(Seq((0, Seq(0L, 1L)), (1, Seq(1L))).toDF("cell", "mu"),
+      "ivf_centroids", "ivf_centroids-ragged")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.loadIvf(spark, store, "ragged"))
+    assert(e2.getMessage.contains("dims inconsistent"), e2.getMessage)
   }
 
   test("cellsFor scales like sqrt(n) with a broadcastable ceiling") {

@@ -43,6 +43,29 @@ class PlanPropertiesSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "explode must not shuffle:\n" + p.take(800))
   }
 
+  test("pivot with an explicit value list plans ONE hash agg, no distinct-values job") {
+    val p = executedPlan("pivot")
+    // pivot_first over the fixed value list — a single grouping pass;
+    // no second aggregate for collecting distinct pivot values
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("CollectLimit") && !p.contains("distinct"),
+      "explicit-values pivot must not run a distinct-values pre-pass:\n" + p.take(800))
+  }
+
+  test("unpivot is a pure per-row Expand — no Exchange anywhere") {
+    val p = executedPlan("unpivot")
+    assert(p.contains("Expand"), p.take(600))
+    assert(!p.contains("Exchange"), "unpivot must not shuffle:\n" + p.take(800))
+  }
+
+  test("win_ntile computes all three distribution functions in ONE window pass") {
+    val p = executedPlan("win_ntile")
+    // one Window node evaluating ntile/percent_rank/cume_dist together
+    // over one sort+shuffle — not one pass per function
+    assert("(?s)Window\\s".r.findAllMatchIn(p).size == 1, p.take(1000))
+    assert("Exchange".r.findAllMatchIn(p).size <= 1, p.take(1000))
+  }
+
   test("IVF assignment plans as the codegen'd expression, not a lambda tree") {
     // VERDICT r4 weak: the assignment was a K-way tree of interpreted
     // aggregate∘zip_with lambdas with literal-embedded centroids — at
