@@ -99,7 +99,9 @@ object Pipeline {
     // depictedIn inputs ride the link rows (adj_media) — neither the
     // corpus nor the mention snapshot is touched again.
     if (!store.markers().contains("triples")) {
-      val canonRows = store.manifests()
+      // liveManifests: after a compaction of the canonical stage the
+      // raw list would double-count rows and mis-gate the broadcast
+      val canonRows = store.liveManifests()
         .filter(_.stage == "canonical").map(_.rows).sum
       val triples = Engine.triples(links, canon, Some(canonRows))
       store.commit(triples, stage = "triples", marker = "triples",

@@ -93,9 +93,11 @@ class GraftCatalog extends TableCatalog {
       if (layoutView) ident.name.dropRight(GraftCatalog.LayoutSuffix.length)
       else ident.name
     val st = store // stable identifier: Manifest is path-dependent
-    val ms = st.manifests()
+    // liveManifests: the SQL surface serves the same snapshot set as
+    // SnapshotStore.read — compaction-superseded snapshots excluded,
+    // id-scoped so VERSION AS OF below a compaction sees history
+    val ms = st.liveManifests(asOf)
       .filter(_.stage == stageName)
-      .filter(m => asOf.forall(m.id <= _))
     // Layout classification SHARED with SnapshotStore.read (one rule
     // set — the SQL surface and the programmatic one must agree on
     // which snapshots they serve): flat dirs as roots; partitioned

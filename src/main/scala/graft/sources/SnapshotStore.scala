@@ -74,13 +74,22 @@ final class SnapshotStore private (rootStr: String) {
     * alone cannot. Empty for pre-r5 manifests and for transforms
     * whose expression does not round-trip through SQL (such stages
     * stay programmatic-append-only, the pre-r5 behavior). */
+  /** `replaces` = snapshot ids this COMPACTION snapshot supersedes
+    * ([[compact]]): superseded snapshots drop out of latest reads (and
+    * of as-of reads at or above the compaction id — superseding is
+    * id-scoped, so time travel BELOW the compaction sees history
+    * unchanged), but their manifests stay forever as the marker
+    * ledger — replaying an already-compacted `foreachBatch` batch id
+    * must remain a no-op, or compaction would re-open the door to
+    * duplicate appends. Empty for ordinary commits. */
   final case class Manifest(id: Long, dir: String, stage: String, marker: String,
                             rows: Long, wallMs: Long,
                             metrics: Map[String, Long] = Map.empty,
                             hidden: Seq[String] = Nil,
                             parts: Seq[String] = Nil,
                             files: Seq[String] = Nil,
-                            hiddenExprs: Seq[String] = Nil)
+                            hiddenExprs: Seq[String] = Nil,
+                            replaces: Seq[Long] = Nil)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -95,7 +104,8 @@ final class SnapshotStore private (rootStr: String) {
     val hex = m.hiddenExprs.map(q).mkString("[", ",", "]")
     val pts = m.parts.map(q).mkString("[", ",", "]")
     val fls = m.files.map(q).mkString("[", ",", "]")
-    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"hidden_exprs":$hex,"parts":$pts,"files":$fls,"metrics":$met}"""
+    val rpl = m.replaces.mkString("[", ",", "]")
+    s"""{"id":${m.id},"dir":${q(m.dir)},"stage":${q(m.stage)},"marker":${q(m.marker)},"rows":${m.rows},"wall_ms":${m.wallMs},"hidden":$hid,"hidden_exprs":$hex,"parts":$pts,"files":$fls,"replaces":$rpl,"metrics":$met}"""
   }
 
   private val strRe = """"((?:[^"\\]|\\.)*)"""".r
@@ -167,6 +177,12 @@ final class SnapshotStore private (rootStr: String) {
   private def parseParts(js: String): Seq[String] = parseStrArray(js, "parts")
   private def parseFiles(js: String): Seq[String] = parseStrArray(js, "files")
 
+  private val longRe = """-?\d+""".r
+  /** Number-array field; absent (pre-compaction manifests) = empty. */
+  private def parseLongArray(js: String, key: String): Seq[Long] =
+    arrayBody(js, key).toSeq.flatMap(b =>
+      longRe.findAllIn(b).map(_.toLong).toSeq)
+
   private val metricsRe = """"metrics":\{([^}]*)\}""".r
   private val kvRe = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
 
@@ -196,7 +212,7 @@ final class SnapshotStore private (rootStr: String) {
     field(js, "id").toLong, field(js, "dir"), field(js, "stage"),
     field(js, "marker"), field(js, "rows").toLong, field(js, "wall_ms").toLong,
     parseMetrics(js), parseHidden(js), parseParts(js), parseFiles(js),
-    parseStrArray(js, "hidden_exprs"))
+    parseStrArray(js, "hidden_exprs"), parseLongArray(js, "replaces"))
 
   def manifests(): Seq[Manifest] = {
     // a cached instance (forRoot) can outlive its directories — e.g. a
@@ -218,6 +234,19 @@ final class SnapshotStore private (rootStr: String) {
   }
 
   def latestId: Option[Long] = manifests().lastOption.map(_.id)
+
+  /** The manifests a data read should serve as of `asOf` (or latest):
+    * [[manifests]] minus snapshots superseded by a [[compact]]ion whose
+    * id is inside the as-of horizon. Id-scoped on purpose: an as-of
+    * read BELOW a compaction's id sees the original snapshots (history
+    * is immutable), at/above it sees only the compacted one. The
+    * marker ledger ([[markers]], commit idempotence) always works on
+    * the RAW list — a compaction must never re-open a replayed batch. */
+  def liveManifests(asOf: Option[Long] = None): Seq[Manifest] = {
+    val ms = manifests().filter(m => asOf.forall(m.id <= _))
+    val superseded = ms.flatMap(_.replaces).toSet
+    ms.filterNot(m => superseded.contains(m.id))
+  }
 
   def markers(): Set[String] = manifests().map(_.marker).toSet
 
@@ -350,7 +379,8 @@ final class SnapshotStore private (rootStr: String) {
              partitionBy: Seq[String] = Nil,
              metrics: Map[String, Long] = Map.empty,
              statsCols: Seq[String] = Nil,
-             hiddenPartitions: Seq[(String, org.apache.spark.sql.Column)] = Nil): Option[Long] = synchronized {
+             hiddenPartitions: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+             replaces: Seq[Long] = Nil): Option[Long] = synchronized {
     // hidden names also become hive dir names and manifest JSON — keep
     // them in a safe identifier alphabet so the dir layout and the
     // regex-parsed manifest round-trip exactly (ADVICE r3: ']' in a
@@ -459,8 +489,84 @@ final class SnapshotStore private (rootStr: String) {
     writeManifest(Manifest(id, finalDir, stage, marker, rows,
       (System.nanoTime() - t0) / 1000000L, metrics ++ statMetrics,
       hidden = hiddenPartitions.map(_._1), parts = partitionBy, files = files,
-      hiddenExprs = hiddenSql))
+      hiddenExprs = hiddenSql, replaces = replaces))
     Some(id)
+  }
+
+  /** COMPACTS a stage: rewrites its current LIVE snapshot set as ONE
+    * new snapshot (same partition layout, hidden transforms replayed
+    * from their recorded SQL, per-column stats re-derived) that
+    * `replaces` the originals — Iceberg's rewrite_data_files +
+    * manifest rewrite in one step. This is the maintenance operation
+    * the streaming sink pattern needs: per-batch commits accumulate
+    * thousands of tiny snapshots, and both read planning (O(snapshots)
+    * manifest work) and scan granularity (one small file group per
+    * batch) degrade until someone folds them. After compaction a
+    * latest read plans ONE snapshot; as-of reads BELOW the compaction
+    * id still see the original history (superseding is id-scoped);
+    * marker reads keep serving the originals until [[expireReplaced]]
+    * reclaims their data; replaying an already-compacted batch marker
+    * is STILL a no-op (the ledger is raw manifests). The fold itself
+    * is one read + one write of the stage's live data.
+    *
+    * Returns the new snapshot id, or None when there is nothing to
+    * fold (≤ 1 live snapshot, or only empty ones) — which also makes a
+    * crash-interrupted compact retry-safe: a completed compaction
+    * leaves exactly one live snapshot, so the retry no-ops. */
+  def compact(spark: SparkSession, stage: String): Option[Long] = {
+    val live = liveManifests().filter(_.stage == stage)
+    if (live.size <= 1 || live.forall(_.rows == 0)) return None
+    val latest = live.last
+    val hiddenReplay: Seq[(String, org.apache.spark.sql.Column)] =
+      if (latest.hidden.isEmpty) Nil
+      else {
+        require(latest.hiddenExprs.length == latest.hidden.length,
+          s"stage '$stage' uses hidden partitioning (${latest.hidden.mkString(",")}) " +
+            "recorded without replayable transform SQL (pre-r5 manifest) — " +
+            "compaction cannot reproduce the layout")
+        latest.hidden.zip(latest.hiddenExprs).map { case (n, s) =>
+          n -> org.apache.spark.sql.functions.expr(s) }
+      }
+    // carry the stats columns forward: a compaction that silently
+    // dropped min/max metrics would turn stats-pruned reads from
+    // skip-at-planning into scan-everything
+    val statCols = live.flatMap(_.metrics.keys)
+      .collect { case k if k.startsWith("min_") => k.stripPrefix("min_") }
+      .distinct
+    commit(read(spark, stage = Some(stage)), stage,
+      marker = s"compact-$stage-upto-${latest.id}",
+      partitionBy = latest.parts, statsCols = statCols,
+      hiddenPartitions = hiddenReplay, replaces = live.map(_.id))
+  }
+
+  /** Iceberg's expire-snapshots, scoped to compaction: physically
+    * deletes the DATA of snapshots a compaction has superseded,
+    * reclaiming the storage the fold duplicated. Manifests are KEPT as
+    * tombstones — the marker ledger must survive expiry or a replayed
+    * batch id would re-commit (duplicate rows in every later read);
+    * [[hasLiveData]] on an expired marker reports false, so resume
+    * paths recompute instead of crashing. As-of reads below the
+    * compaction horizon fail loudly after expiry (their data is gone —
+    * the documented trade of reclaiming it). Returns the number of
+    * snapshots whose data was removed. */
+  def expireReplaced(stage: String): Int = synchronized {
+    val superseded = manifests().flatMap(_.replaces).toSet
+    val stageRoot = dataDir.resolve(s"part-$stage").toAbsolutePath.normalize
+    manifests().filter(m => m.stage == stage && superseded.contains(m.id))
+      .count { m =>
+        if (m.files.nonEmpty) {
+          // file-granular snapshot: its files live inside the SHARED
+          // stage tree — delete exactly them, never the tree
+          val present = m.files.map(Paths.get(_)).filter(Files.exists(_))
+          present.foreach(Files.delete)
+          present.nonEmpty
+        } else {
+          val d = Paths.get(m.dir).toAbsolutePath.normalize
+          // zero-row partitioned commits record the shared root as
+          // their dir — deleting it would destroy every snapshot
+          d != stageRoot && Files.isDirectory(d) && { rmTmpTree(d); true }
+        }
+      }
   }
 
   private def rmTmpTree(p: Path): Unit = {
@@ -637,7 +743,11 @@ final class SnapshotStore private (rootStr: String) {
            evolveSchema: Boolean = false,
            keepHidden: Boolean = false,
            marker: Option[String] = None): DataFrame = {
-    val ms0 = manifests()
+    // a marker read is a RESUME read of one specific commit — it must
+    // keep serving that snapshot even after a compaction supersedes it
+    // (its data stays until expireReplaced); plain reads serve the
+    // live set so a compacted stage is never double-served
+    val ms0 = if (marker.isDefined) manifests() else liveManifests(asOf)
     val ms = ms0
       .filter(m => asOf.forall(m.id <= _))
       .filter(m => stage.forall(m.stage == _))
@@ -667,8 +777,7 @@ final class SnapshotStore private (rootStr: String) {
   def readPruned(spark: SparkSession, column: String, lo: Long, hi: Long,
                  stage: Option[String] = None,
                  asOf: Option[Long] = None): DataFrame = {
-    val ms = manifests()
-      .filter(m => asOf.forall(m.id <= _))
+    val ms = liveManifests(asOf)
       .filter(m => stage.forall(m.stage == _))
     require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage)")
     val kept = ms.filter { m =>

@@ -175,6 +175,13 @@ class SnapshotStoreSpec extends SparkSuite {
     val plan = spark.sql(s"SELECT * FROM $cat.ev WHERE k = 3").queryExecution
       .executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]"), plan.take(900))
+
+    // the SQL surface serves the LIVE set after compaction — same rule
+    // as SnapshotStore.read: no double rows, and VERSION AS OF below
+    // the compaction id still sees the original history
+    store.compact(spark, "ev")
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 1").count() == 2)
   }
 
   test("crash-resume exactly-once: data without manifest is invisible; resume completes") {
@@ -638,5 +645,104 @@ class SnapshotStoreSpec extends SparkSuite {
     // a spec change under a NEW stage name is the supported evolution
     assert(store.commit(rows, "evl_v2", "m6",
       hiddenPartitions = Seq("hour" -> (col("ts").cast("long") / 3600L).cast("long"))).nonEmpty)
+  }
+  test("compact folds live snapshots into one; history, markers, and replays survive") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    // streaming-shaped: many tiny per-batch commits
+    (0 until 5).foreach { b =>
+      store.commit(Seq((b.toLong, s"v$b")).toDF("k", "v"), "tri", s"batch-$b")
+    }
+    val before = store.read(spark, stage = Some("tri"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before.size == 5)
+
+    val cid = store.compact(spark, "tri")
+    assert(cid.contains(6L))
+    // latest read: same content, ONE live snapshot planned
+    val after = store.read(spark, stage = Some("tri"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    assert(store.liveManifests().count(_.stage == "tri") == 1)
+    // raw ledger keeps every manifest
+    assert(store.manifests().count(_.stage == "tri") == 6)
+
+    // id-scoped supersede: as-of BELOW the compaction sees history
+    assert(store.read(spark, stage = Some("tri"), asOf = Some(2L)).count() == 2)
+    // marker resume still serves the original snapshot
+    assert(store.read(spark, stage = Some("tri"), marker = Some("batch-1")).count() == 1)
+    // replaying an already-compacted batch id is STILL a no-op
+    assert(store.commit(Seq((99L, "dup")).toDF("k", "v"), "tri", "batch-3").isEmpty)
+    assert(store.read(spark, stage = Some("tri")).count() == 5)
+
+    // a completed compaction retries as a no-op (one live snapshot left)
+    assert(store.compact(spark, "tri").isEmpty)
+  }
+
+  test("compact preserves a partitioned+hidden layout and re-derives stats") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (store, _) = freshStore()
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"u$i", i * 3600L)).toDF("id", "name", "ts")
+    store.commit(rows(1, 4), "evt", "m1", partitionBy = Seq("name"),
+      hiddenPartitions = Seq("hour" -> (col("ts").cast("long") / 3600L).cast("long")),
+      statsCols = Seq("id"))
+    store.commit(rows(5, 8), "evt", "m2", partitionBy = Seq("name"),
+      hiddenPartitions = Seq("hour" -> (col("ts").cast("long") / 3600L).cast("long")),
+      statsCols = Seq("id"))
+
+    val cid = store.compact(spark, "evt")
+    assert(cid.nonEmpty)
+    val cm = store.liveManifests().filter(_.stage == "evt")
+    assert(cm.size == 1)
+    // layout spec preserved; stats re-derived over the folded data
+    assert(cm.head.parts == Seq("name") && cm.head.hidden == Seq("hour"))
+    assert(cm.head.metrics.get("min_id").contains(1L))
+    assert(cm.head.metrics.get("max_id").contains(8L))
+    // logical schema unchanged (hidden column still projected away)
+    val got = store.read(spark, stage = Some("evt"))
+    assert(got.columns.toSet == Set("id", "name", "ts"))
+    assert(got.count() == 8)
+    // stats-pruned read keeps skipping at planning time
+    assert(store.readPruned(spark, "id", 100, 200, stage = Some("evt")).count() == 0)
+  }
+
+  test("expireReplaced reclaims superseded data; the ledger and latest reads survive") {
+    import spark.implicits._
+    val (store, _) = freshStore()
+    (0 until 3).foreach { b =>
+      store.commit(Seq((b.toLong, s"v$b")).toDF("k", "v"), "tri", s"batch-$b")
+    }
+    store.compact(spark, "tri")
+    assert(store.hasLiveData("tri", "batch-1"))
+
+    assert(store.expireReplaced("tri") == 3)
+    // latest read unchanged; the compacted snapshot holds the data
+    assert(store.read(spark, stage = Some("tri")).count() == 3)
+    // resume probe now reports dead -> resume paths recompute
+    assert(!store.hasLiveData("tri", "batch-1"))
+    // the marker ledger survives: replays stay no-ops after expiry
+    assert(store.commit(Seq((99L, "dup")).toDF("k", "v"), "tri", "batch-2").isEmpty)
+    // expiry is idempotent
+    assert(store.expireReplaced("tri") == 0)
+    // as-of below the compaction horizon now fails loudly, not silently-empty
+    intercept[Exception] {
+      store.read(spark, stage = Some("tri"), asOf = Some(2L)).collect()
+    }
+  }
+
+  test("expireReplaced on a partitioned stage deletes exactly the superseded files") {
+    import spark.implicits._
+    val (store, root) = freshStore()
+    store.commit(Seq((1L, "a")).toDF("k", "p"), "pt", "m1", partitionBy = Seq("p"))
+    store.commit(Seq((2L, "b")).toDF("k", "p"), "pt", "m2", partitionBy = Seq("p"))
+    val cid = store.compact(spark, "pt")
+    assert(cid.nonEmpty)
+    assert(store.expireReplaced("pt") == 2)
+    // the shared hive tree still serves the compacted snapshot
+    assert(store.read(spark, stage = Some("pt")).count() == 2)
+    val cm = store.liveManifests().filter(_.stage == "pt").head
+    assert(cm.files.nonEmpty && cm.files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
   }
 }
