@@ -233,6 +233,48 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+
+  test("ST-KG4: per-batch triple snapshots compact to one and survive expiry (stream ≡ batch)") {
+    import graft.kg.{Corpus, Stages}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Corpus.docs(spark, sf).localCheckpoint(true)
+    val gazSeq = Stages.gazetteer(spark, sf)
+      .select(col("surface"), col("coarse_type"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val anchor = Stages.anchorDict(spark, sf).localCheckpoint(true)
+    val canon = Stages.canonicalMap(spark, sf).localCheckpoint(true)
+    val in = Files.createTempDirectory("stkg4-in").toString
+    val store = SnapshotStore.forRoot(Files.createTempDirectory("stkg4-store").toString)
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 0), "1")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 1), "2")
+    writeBatch(in, docs.where(col("doc_id").cast("long") % 3 === 2), "3")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamOps.incrementalTriples(stream, gazSeq, anchor,
+      Stages.scoreBoost, canon, store,
+      canonRows = Some(3L * Stages.GazetteerSize)).start()
+    try q.processAllAvailable() finally q.stop()
+
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = tset(Stages.triples(spark, sf))
+
+    // the maintenance pass the per-batch sink pattern needs: fold the
+    // three tiny batch snapshots into one, then reclaim their data
+    assert(store.compact(spark, "triples").nonEmpty)
+    assert(store.liveManifests().count(_.stage == "triples") == 1)
+    assert(tset(store.read(spark, stage = Some("triples"))) == want)
+
+    assert(store.expireReplaced("triples") == 3)
+    assert(tset(store.read(spark, stage = Some("triples"))) == want)
+    // a foreachBatch REPLAY of an already-compacted-and-expired batch id
+    // must still be a no-op, or recovery would duplicate triples
+    assert(store.commit(store.read(spark, stage = Some("triples")),
+      "triples", "triples-batch-1").isEmpty)
+    assert(tset(store.read(spark, stage = Some("triples"))) == want)
+  }
+
   test("ST-KG3: docs re-presented in a LATER batch keep accumulated triples ≡ batch (set semantics)") {
     import graft.kg.{Corpus, Stages}
     val sf = "/root/testdata/sf0.001"
