@@ -111,29 +111,41 @@ object Pipeline {
   }
 
   /** Optional stage 6: graph analytics over the COMMITTED triple table
-    * ([[GraphAnalytics]]), materialized as snapshot stages under the
-    * same marker idempotence as stages 1–5 — a resumed run recommits
-    * nothing, a partially-wiped run recomputes only the missing stage.
-    * Reads ONLY the triples snapshot (pred-partitioned, so the
-    * mentionedIn scan for the co-mention graph is partition-pruned);
-    * the corpus is never rescanned. PageRank reads the committed
-    * co-mention stage rather than its lineage — the train/serve split
-    * applied to graph state: edge construction happens once per corpus
-    * version, rank iterations re-run cheaply on top. */
+    * ([[GraphAnalytics]]), materialized as INCREMENTALLY MAINTAINED
+    * derived stages. Each analytics commit is versioned by the
+    * UPSTREAM state it derives from (marker = `<stage>-upto-<latest
+    * live triples snapshot id>`) and `replaces` the previous
+    * derivation:
+    *  - rerun over unchanged triples → marker hit, no-op (resume);
+    *  - rerun after new triple snapshots landed (a streaming sink, a
+    *    later pipeline run) → recompute + supersede, so latest reads
+    *    serve ONE fresh snapshot, never a stale∪fresh union;
+    *  - as-of reads before the refresh still see the older analytics
+    *    (supersede is id-scoped, like [[SnapshotStore.compact]]);
+    *  - `expireReplaced` reclaims superseded analytics data.
+    * Reads ONLY committed snapshots (pred-partitioned triples, so the
+    * mentionedIn scan partition-prunes); the corpus is never
+    * rescanned. PageRank reads the just-refreshed co-mention stage
+    * rather than its lineage — the train/serve split applied to graph
+    * state: edge construction once per triple version, rank
+    * iterations re-run cheaply on top. */
   def runAnalytics(spark: SparkSession, store: SnapshotStore): SnapshotStore = {
+    val upTo = store.liveManifests().filter(_.stage == "triples").map(_.id)
+      .maxOption.getOrElse(throw new IllegalStateException(
+        "runAnalytics needs a committed 'triples' stage — run the pipeline first"))
     def triples() = store.read(spark, stage = Some("triples"))
-    if (!store.markers().contains("graph-degree"))
-      store.commit(GraphAnalytics.degrees(triples()),
-        stage = "graph_degree", marker = "graph-degree")
-    if (!store.markers().contains("graph-comention"))
-      store.commit(
-        GraphAnalytics.comentionTopK(triples().where(col("pred") === "mentionedIn")),
-        stage = "graph_comention", marker = "graph-comention")
-    if (!store.markers().contains("graph-pagerank")) {
-      val edges = store.read(spark, stage = Some("graph_comention"))
-      store.commit(GraphAnalytics.pagerankInt(edges),
-        stage = "graph_pagerank", marker = "graph-pagerank")
+    def refresh(stage: String)(df: => DataFrame): Unit = {
+      val marker = s"$stage-upto-$upTo"
+      if (!store.markers().contains(marker)) {
+        val prior = store.liveManifests().filter(_.stage == stage).map(_.id)
+        store.commit(df, stage, marker, replaces = prior): Unit
+      }
     }
+    refresh("graph_degree")(GraphAnalytics.degrees(triples()))
+    refresh("graph_comention")(
+      GraphAnalytics.comentionTopK(triples().where(col("pred") === "mentionedIn")))
+    refresh("graph_pagerank")(
+      GraphAnalytics.pagerankInt(store.read(spark, stage = Some("graph_comention"))))
     store
   }
 

@@ -60,10 +60,29 @@ class PipelineSpec extends SparkSuite {
     assert(gotDeg.count() ==
       GraphAnalytics.degrees(Stages.triples(spark, sf)).count())
 
-    // marker idempotence: a resumed analytics run recommits nothing
+    // marker idempotence: a resumed analytics run over UNCHANGED
+    // triples recommits nothing
     val nSnaps = store.manifests().size
     Pipeline.runAnalytics(spark, store)
     assert(store.manifests().size == nSnaps)
+
+    // incremental maintenance: a later batch lands more triples → the
+    // derived stages REFRESH, each superseding its stale predecessor
+    // (latest reads serve one fresh snapshot, never stale ∪ fresh)
+    import spark.implicits._
+    val extra = Seq(("E9_zzz", "hasType", "PER"),
+      ("E9_zzz", "mentionedIn", "doc:x1")).toDF("subj", "pred", "obj")
+    store.commit(extra, "triples", "triples-extra", partitionBy = Seq("pred"))
+    val degBefore = gotDeg.count()
+    Pipeline.runAnalytics(spark, store)
+    assert(store.liveManifests().count(_.stage == "graph_degree") == 1)
+    val degAfter = store.read(spark, stage = Some("graph_degree"))
+    assert(degAfter.count() == degBefore + 1)
+    assert(degAfter.where(col("subj") === "E9_zzz").count() == 1)
+    // and the refreshed state reruns as a no-op again
+    val nSnaps2 = store.manifests().size
+    Pipeline.runAnalytics(spark, store)
+    assert(store.manifests().size == nSnaps2)
 
     // the analytics never rescan the corpus: they read only committed
     // stages, so the whole call plans ZERO parquet scans outside the
