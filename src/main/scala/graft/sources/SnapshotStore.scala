@@ -539,6 +539,64 @@ final class SnapshotStore private (rootStr: String) {
       hiddenPartitions = hiddenReplay, replaces = live.map(_.id))
   }
 
+  /** Iceberg's remove-orphan-files: deletes DATA no manifest
+    * references — the garbage a crash between data write and manifest
+    * rename leaves behind (invisible to every reader by the commit
+    * protocol, but it still occupies storage): whole `snap-<id>` /
+    * `.tmp-snap-<id>` dirs without a manifest, and parquet files
+    * inside the shared `part-<stage>` hive trees that no manifest's
+    * file list claims. Safe under the store's concurrency contract:
+    * `synchronized` serializes against same-JVM commits (a commit
+    * holds the monitor from data write through manifest rename, so
+    * vacuum can never see a half-committed snapshot), and the store
+    * is single-driver across processes by assumption — do NOT run
+    * vacuum from a second process while a first is committing.
+    * Returns the number of filesystem entries removed. */
+  def vacuumOrphans(): Int = synchronized {
+    if (!Files.isDirectory(dataDir)) return 0
+    val ms = manifests()
+    val refDirs = ms.filter(_.files.isEmpty)
+      .map(m => Paths.get(m.dir).toAbsolutePath.normalize).toSet
+    val refFiles = ms.flatMap(_.files)
+      .map(f => Paths.get(f).toAbsolutePath.normalize).toSet
+    var removed = 0
+    val top = Files.list(dataDir)
+    val entries = try top.iterator().asScala.toList finally top.close()
+    entries.foreach { e =>
+      val abs = e.toAbsolutePath.normalize
+      val name = e.getFileName.toString
+      if (name.startsWith("part-")) {
+        // shared hive tree: delete unreferenced parquet files only —
+        // the tree itself hosts live snapshots at file granularity.
+        // An ACTIVE tree with no file manifests yet (all its commits
+        // crashed pre-manifest) still only loses unreferenced files.
+        val walk = Files.walk(abs)
+        val orphans = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !refFiles.contains(p.toAbsolutePath.normalize))
+          .toList finally walk.close()
+        // a legacy (pre-file-manifest) partitioned snapshot records the
+        // tree-external snap dir, never the shared tree — but guard
+        // against a manifest whose dir IS this tree with empty files
+        // (the zero-row partitioned shape): such a tree may host data
+        // a future migrate will claim, so only file-level deletes here
+        orphans.foreach { p => Files.delete(p); removed += 1 }
+      } else if (!refDirs.exists(_.startsWith(abs)) &&
+          !refFiles.exists(_.startsWith(abs))) {
+        // snap-<id> or .tmp-snap-<id> dir that neither IS a referenced
+        // dir nor CONTAINS one: bucketed commits' manifests point at
+        // `snap-<id>/bucket=<b>` SUBDIRS, so membership alone would
+        // classify their parent snap dir as orphaned and delete live
+        // bucket data — containment (startsWith is path-component
+        // based) keeps any dir with a referenced descendant
+        rmTmpTree(abs)
+        removed += 1
+      }
+    }
+    removed
+  }
+
   /** Iceberg's expire-snapshots, scoped to compaction: physically
     * deletes the DATA of snapshots a compaction has superseded,
     * reclaiming the storage the fold duplicated. Manifests are KEPT as

@@ -745,4 +745,43 @@ class SnapshotStoreSpec extends SparkSuite {
     val cm = store.liveManifests().filter(_.stage == "pt").head
     assert(cm.files.nonEmpty && cm.files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
   }
+  test("vacuumOrphans removes crash garbage, never live data — bucketed subdirs included") {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    import spark.implicits._
+    val (store, root) = freshStore()
+    // live flat snapshot + live BUCKETED snapshot (manifests point at
+    // snap-<id>/bucket=<b> SUBDIRS — the parent dir must survive) +
+    // live partitioned snapshot (file-granular, shared part- tree)
+    store.commit(Seq((1L, "a")).toDF("k", "v"), "flat", "m1")
+    val bk = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(2)).cast("int"))
+    store.commitBuckets(bk, "bk", "bucket", Seq(0, 1), b => s"bk-$b")
+    store.commit(Seq((5L, "p")).toDF("k", "p"), "pt", "m2", partitionBy = Seq("p"))
+
+    // crash garbage: a data dir with no manifest, an in-flight temp
+    // dir, and an unreferenced parquet inside the shared part- tree
+    val data = java.nio.file.Paths.get(root, "data")
+    val orphanDir = data.resolve("snap-99")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.write(orphanDir.resolve("junk.parquet"), Array[Byte](1, 2))
+    val tmpDir = data.resolve(".tmp-snap-98")
+    java.nio.file.Files.createDirectories(tmpDir)
+    java.nio.file.Files.write(tmpDir.resolve("x.parquet"), Array[Byte](3))
+    val treeOrphan = data.resolve("part-pt").resolve("p=zz")
+    java.nio.file.Files.createDirectories(treeOrphan)
+    java.nio.file.Files.write(treeOrphan.resolve("snap-77-orphan.parquet"), Array[Byte](4))
+
+    val before = (store.read(spark, stage = Some("flat")).count(),
+      store.read(spark, stage = Some("bk")).count(),
+      store.read(spark, stage = Some("pt")).count())
+    assert(store.vacuumOrphans() == 3)
+    // every live read unchanged; garbage gone; vacuum is idempotent
+    assert((store.read(spark, stage = Some("flat")).count(),
+      store.read(spark, stage = Some("bk")).count(),
+      store.read(spark, stage = Some("pt")).count()) == before)
+    assert(!java.nio.file.Files.exists(orphanDir))
+    assert(!java.nio.file.Files.exists(tmpDir))
+    assert(!java.nio.file.Files.exists(treeOrphan.resolve("snap-77-orphan.parquet")))
+    assert(store.vacuumOrphans() == 0)
+  }
 }
