@@ -28,7 +28,10 @@ object PlanAudit {
     "ann_ivf_probe",   // expect query-side explode of vec_ivf_probes, ONE cell equi-join
     "dedup_survivors", // expect corpus-side broadcast anti/left joins vs dup-graph tables (r5)
     "kg_triples",      // expect broadcast canon join, ONE corpus scan, NO media join (r4)
-    "graph_comention", // expect in-row pair explode + window — NO join anywhere (r5)
+    "graph_comention", // expect two-level in-row pair explode + window over the
+                       //   memoized triple table — no pair SELF-join (the canon
+                       //   broadcast join belongs to the triple chain and is
+                       //   expected; ADVICE r5)
     "graph_pagerank",  // expect ranks read from the round-truncated checkpoint —
                        //   constant-depth plan however many iterations ran (r5)
     "graph_triangles", // expect InMemory mutual-edge reuse on all three legs (r5)

@@ -8,12 +8,12 @@ import graft.functions.NormalizeSurface
 /** Text-analysis operators for training-data curation (task brief):
   * language-ID (marker-token heuristic), quality scoring, token
   * counting, document fingerprinting. All pure column algebra over the
-  * scan — no shuffle except the langid argmax, which is a broadcast
-  * join + hash aggregate.
+  * scan — ZERO shuffles (r6: langid's argmax moved in-row, see
+  * [[langId]]).
   */
 object TextAnalysis {
 
-  /** (lang, marker) rows; tiny — broadcast side of the langid join. */
+  /** (lang, marker) rows — the langid marker dictionary. */
   val markers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
     "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
@@ -21,28 +21,36 @@ object TextAnalysis {
 
   /** N-gram-style language-ID heuristic: count marker tokens per
     * language, argmax with (count desc, lang asc) tie-break, 'unknown'
-    * when no marker occurs. */
+    * when no marker occurs.
+    *
+    * ZERO-shuffle form (r6, VERDICT r5 weak #2): the per-language
+    * marker counts are per-DOCUMENT quantities, so they are computed
+    * in-row — `size(filter(tokens, t ∈ markers_lang))` per language —
+    * and the argmax is `array_min` over (−count, lang) structs, the
+    * same lexicographic tie-break the old two-shuffle form (explode
+    * every token → broadcast-join the marker table → two hash
+    * aggregates) implemented. At corpus scale the old form shuffled
+    * O(corpus tokens) rows (marker tokens are stopwords — a large
+    * fraction of all tokens) for a per-doc 3-language count; this form
+    * shuffles nothing (plan-guarded in PlanPropertiesSpec). Rows with
+    * zero marker hits in every language produce ('unknown', 0) exactly
+    * like the old left join's null arm, including null/tokenless
+    * texts (coalesce to an empty token array ≡ explode of nothing). */
   def langId(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val m = broadcast(markers.toDF("cand_lang", "marker"))
-    val toks = documents.select(col("doc_id"),
-      explode(Dedup.tokens(col("text"))).as("tok"))
-    val scores = toks.join(m, col("tok") === col("marker"))
-      .groupBy(col("doc_id"), col("cand_lang"))
-      .agg(count(lit(1)).as("n_markers"))
-    // argmax with (count desc, lang asc) tie-break: min over the
-    // lexicographic struct (-count, lang) — total order, deterministic.
-    val best = scores.groupBy("doc_id")
-      .agg(min_by(struct(col("cand_lang"), col("n_markers")),
-        struct((-col("n_markers")).as("neg_n"), col("cand_lang"))).as("b"))
-      .select(col("doc_id"), col("b.cand_lang").as("predicted_lang"),
-        col("b.n_markers").as("n_markers"))
-    documents.select(col("doc_id").as("d_id"))
-      .join(best, col("d_id") === col("doc_id"), "left")
-      .select(col("d_id").as("doc_id"),
-        coalesce(col("predicted_lang"), lit("unknown")).as("predicted_lang"),
-        coalesce(col("n_markers"), lit(0L)).as("n_markers"))
+    val toks = coalesce(Dedup.tokens(col("text")),
+      array().cast("array<string>"))
+    val byLang: Seq[(String, Seq[String])] = markers.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val scored = array(byLang.map { case (lang, ms) =>
+      val n = size(filter(toks, t => ms.map(t === _).reduce(_ || _))).cast("long")
+      struct((-n).as("neg_n"), lit(lang).as("cand_lang"), n.as("n"))
+    }: _*)
+    documents
+      .select(col("doc_id"), array_min(scored).as("b"))
+      .select(col("doc_id"),
+        when(col("b.n") > 0, col("b.cand_lang")).otherwise(lit("unknown"))
+          .as("predicted_lang"),
+        when(col("b.n") > 0, col("b.n")).otherwise(lit(0L)).as("n_markers"))
   }
 
   /** Quality features: all integer/ratio arithmetic ⇒ bit-exact vs the

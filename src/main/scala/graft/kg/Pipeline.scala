@@ -79,8 +79,11 @@ object Pipeline {
     // adjacency threads through both so the triple stage needs only
     // this snapshot.
     if (!store.markers().contains("links")) {
+      // anchorDictLocal: the gazetteer seq collected above serves the
+      // dictionary too — no second gazetteer job (r6)
       val links = Engine.links(
-        Engine.candidates(mentions, Stages.anchorDict(spark, sfDir), carry),
+        Engine.candidates(mentions,
+          Stages.anchorDictLocal(spark, gazSeq.map(_._1)), carry),
         Stages.scoreBoost, carry)
       store.commit(links, stage = "links", marker = "links")
     }
@@ -88,7 +91,8 @@ object Pipeline {
 
     // Stage 4: canonicalization (CC over the alias graph).
     if (!store.markers().contains("canonical")) {
-      store.commit(Engine.canonical(Stages.aliasEdges(spark, sfDir)),
+      store.commit(Engine.canonical(
+        Stages.aliasEdgesLocal(spark, gazSeq.map(_._1))),
         stage = "canonical", marker = "canonical")
     }
     val canon = store.read(spark, stage = Some("canonical"))
@@ -142,10 +146,18 @@ object Pipeline {
       }
     }
     refresh("graph_degree")(GraphAnalytics.degrees(triples()))
-    refresh("graph_comention")(
-      GraphAnalytics.comentionTopK(triples().where(col("pred") === "mentionedIn")))
+    // WithRelease: the pair intermediate's DISK_ONLY blocks are dropped
+    // once the co-mention stage is committed — a long-lived driver
+    // refreshing analytics per triple version no longer accumulates
+    // cache entries across refreshes (ADVICE r5). PageRank reads the
+    // COMMITTED co-mention stage, so the release cannot starve it.
+    val (com, releaseComention) = GraphAnalytics.comentionTopKWithRelease(
+      triples().where(col("pred") === "mentionedIn"))
+    refresh("graph_comention")(com)
+    releaseComention()
     refresh("graph_pagerank")(
-      GraphAnalytics.pagerankInt(store.read(spark, stage = Some("graph_comention"))))
+      GraphAnalytics.pagerankInt(store.read(spark, stage = Some("graph_comention")),
+        releaseInputs = true))
     store
   }
 

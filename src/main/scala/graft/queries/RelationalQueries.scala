@@ -136,7 +136,16 @@ object RelationalQueries {
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(K)).cast("int"))
         val ord = Tables.orders(s, d)
           .withColumn("salt", explode(sequence(lit(0), lit(K - 1))))
-        li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        // SHUFFLE_HASH on the replicated dim side (guide §3.1, r6): the
+        // salted join previously planned sort-merge, paying a full sort
+        // of BOTH sides on (key, salt) on top of the deliberate K×
+        // replication. Salting guarantees near-uniform build-side
+        // partitions (that is its purpose), which is exactly when a
+        // shuffled-hash build is safe — the dim partition is bounded at
+        // |orders|·K/parts rows — and the sorts vanish. AQE skew
+        // splitting applies to SHJ exactly as to SMJ (second defense).
+        li.join(ord.hint("shuffle_hash"),
+            li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
       }),

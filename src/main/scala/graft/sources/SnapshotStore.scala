@@ -811,6 +811,21 @@ final class SnapshotStore private (rootStr: String) {
       .filter(m => stage.forall(m.stage == _))
       .filter(m => marker.forall(m.marker == _))
     require(ms.nonEmpty, s"no snapshots in $root (asOf=$asOf, stage=$stage, marker=$marker)")
+    // ADVICE r5: layoutGroups silently drops snapshots whose data dir
+    // is gone, so a store-wide (or multi-snapshot) read where any OTHER
+    // selected snapshot still has data would serve a partial union with
+    // the expired snapshot's rows silently missing — only the
+    // everything-gone case tripped the frames.nonEmpty require below.
+    // A selected snapshot that committed rows but has no surviving data
+    // location must fail the read loudly, exactly as expireReplaced's
+    // as-of contract documents.
+    val gone = ms.filter(m => m.rows > 0 &&
+      (if (m.files.nonEmpty) m.files.exists(f => !Files.exists(Paths.get(f)))
+       else !Files.exists(Paths.get(m.dir))))
+    require(gone.isEmpty,
+      s"snapshot(s) ${gone.map(_.id).mkString(",")} in $root committed rows but " +
+        "have no surviving data (expired or externally wiped) — refusing to " +
+        s"serve a partial union (asOf=$asOf, stage=$stage, marker=$marker)")
     val frames = sourceFrames(spark, ms, schema, evolveSchema)
     require(frames.nonEmpty,
       s"all selected snapshots in $root are empty (asOf=$asOf, stage=$stage)")

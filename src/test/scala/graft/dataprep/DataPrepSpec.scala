@@ -440,3 +440,44 @@ class MultimodalSpec extends SparkSuite {
     assert(decoded.view.mapValues(_.feature.toSeq).toMap == again)
   }
 }
+
+/** langId semantics pinned against the in-row rewrite (r6): the
+  * zero-shuffle form must reproduce the old join+agg argmax exactly —
+  * multiplicity counting, (count desc, lang asc) tie-break, and the
+  * 'unknown' arm for marker-free and degenerate texts. */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def lid(rows: (Long, String)*): Map[Long, (String, Long)] =
+    TextAnalysis.langId(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("langId counts marker tokens with multiplicity and picks the max language") {
+    val got = lid(
+      1L -> "the cat and the dog of the house",  // en: the×3 + and + of = 5
+      2L -> "el que la de y el",                 // es: 6 markers
+      3L -> "der hund und die katze ist das")    // de: 5 markers
+    assert(got(1L) == ("en", 5L))
+    assert(got(2L) == ("es", 6L))
+    assert(got(3L) == ("de", 5L))
+  }
+
+  test("langId tie-break is lang asc at equal counts") {
+    // one en marker ('the') and one de marker ('und'): de < en wins
+    val got = lid(1L -> "the und")
+    assert(got(1L) == ("de", 1L))
+  }
+
+  test("langId falls back to ('unknown', 0) for marker-free and empty text") {
+    val got = lid(1L -> "zzz qqq", 2L -> "", 3L -> "1984")
+    assert(got(1L) == ("unknown", 0L))
+    assert(got(2L) == ("unknown", 0L))
+    assert(got(3L) == ("unknown", 0L))
+  }
+
+  test("langId plans zero exchanges (in-row counts + in-row argmax)") {
+    val docs = Seq((1L, "the cat")).toDF("doc_id", "text")
+    val p = TextAnalysis.langId(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "langId must not shuffle:\n" + p.take(1200))
+  }
+}

@@ -211,3 +211,80 @@ class PrAggregatorSpec extends SparkSuite {
     assert(r.precision == 1.0 / 3.0 && r.recall == 0.5)
   }
 }
+
+/** U1 ⊢ W4 (VERDICT r5 #5): the Aho–Corasick longest-match contract
+  * must GUARANTEE the W4 overlap-suppression invariant — the emitted
+  * mention set is pairwise non-overlapping, and equals the running-max
+  * sweep (win_overlap's window shape) applied to the full candidate
+  * set — under adversarial nested gazetteer entries and randomized
+  * texts, not just the hand fixtures. */
+class MentionOverlapPropertySpec extends SparkSuite {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+
+  // adversarially nested dictionary: shared prefixes, shared suffixes,
+  // full containment chains ("new" ⊂ "new york" ⊂ "new york city")
+  private val gaz = Seq(
+    "new" -> "MISC", "york" -> "LOC", "city" -> "MISC",
+    "new york" -> "LOC", "new york city" -> "LOC",
+    "york city" -> "ORG", "city hall" -> "ORG", "hall" -> "MISC")
+  private val trie = AcTrie(gaz)
+
+  /** Every candidate occurrence (naive scan, ignoring overlap rules). */
+  private def candidates(text: String): Seq[(Int, Int)] = {
+    val lower = text.toLowerCase
+    for {
+      (p, _) <- gaz
+      b <- 0 to (lower.length - p.length)
+      if lower.regionMatches(b, p, 0, p.length)
+      if b == 0 || !AcTrie.isWordChar(lower.charAt(b - 1))
+      e = b + p.length
+      if e == lower.length || !AcTrie.isWordChar(lower.charAt(e))
+    } yield (b, e)
+  }
+
+  /** The documented longest-match suppression contract: candidates
+    * sorted (begin asc, length desc), swept greedily — a candidate is
+    * kept iff it starts at/after the last KEPT end. This is the same
+    * non-overlap invariant W4's running-max window enforces (both
+    * produce pairwise-disjoint sets); the greedy-kept form is the
+    * declared U1 tie-break for nested candidates. */
+  private def greedySweep(cands: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+    val sorted = cands.distinct.sortBy { case (b, e) => (b, -(e - b)) }
+    var lastEnd = 0
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for ((b, e) <- sorted) if (b >= lastEnd) { kept += ((b, e)); lastEnd = e }
+    kept.toSeq
+  }
+
+  private val word = Gen.oneOf("new", "york", "city", "hall", "the", "x9")
+  private val sep = Gen.oneOf(" ", ", ", " - ", "  ")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, word)
+    ss <- Gen.listOfN(math.max(0, n - 1), sep)
+  } yield ws.zipAll(ss, "", "").map { case (w, s) => w + s }.mkString
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    if (!res.passed) fail(s"property failed: ${res.status}")
+  }
+
+  test("emitted mentions are pairwise non-overlapping on adversarial nested texts") {
+    check(forAll(textGen) { text =>
+      val ms = trie.matches(text).map { case (b, e, _) => (b, e) }.sortBy(_._1).toSeq
+      ms.sliding(2).forall {
+        case Seq((_, e1), (b2, _)) => b2 >= e1
+        case _ => true
+      }
+    })
+  }
+
+  test("emitted mentions ≡ longest-match greedy suppression of ALL naive candidates") {
+    check(forAll(textGen) { text =>
+      val got = trie.matches(text).map { case (b, e, _) => (b, e) }.sortBy(_._1).toSeq
+      got == greedySweep(candidates(text))
+    })
+  }
+}
