@@ -142,9 +142,11 @@ object GraphAnalytics {
     * between truncations stays ≤ this constant (each round is one
     * join + one agg + one left join on top of the last materialized
     * rank), so analysis cost per round is O(1) in `iters` exactly as
-    * before. The FINAL round is always materialized, which is also
-    * what makes releasing the cached edge/degree frames safe (ADVICE
-    * r5: they used to leak for the JVM lifetime). Cadence 2 measured
+    * before. Under `releaseInputs` the FINAL round is additionally
+    * forced eager, which is what makes releasing the cached
+    * edge/degree frames safe (ADVICE r5: they used to leak for the
+    * JVM lifetime); otherwise the last partial chain stays lazy and
+    * the consumer's action computes it. Cadence 2 measured
     * best at sf0.1/local[32] (in-process A/B, steady-state best-of-3:
     * cadence 1 → 1.84 s, 2 → 1.58 s, 4 → 1.80 s — the fully-chained
     * single job re-reads the cached edge frame once per round inside
@@ -184,11 +186,13 @@ object GraphAnalytics {
         .select(col("n"),
           (lit(150000L) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
-      pr = if (i % truncateEvery == 0 || i == iters)
+      // the final round is forced eager ONLY when the caller wants the
+      // inputs released (their blocks must not be reachable from the
+      // returned lineage); otherwise it stays lazy and the consumer's
+      // own action computes it — one fewer whole job per call (r6)
+      pr = if (i % truncateEvery == 0 || (i == iters && releaseInputs))
         ConnectedComponents.materializeRound(next) else next
     }
-    // the final round is materialized above, so the cached inputs are
-    // not reachable from the returned frame's lineage — releasable
     if (releaseInputs) Seq(e0, ed, nodes).foreach(_.unpersist(blocking = false))
     pr
   }
@@ -239,10 +243,10 @@ object GraphAnalytics {
         .select(col("n"),
           (lit(150000L) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
-      pr = if (i % truncateEvery == 0 || i == iters)
+      // see pagerankInt: final round forced eager only for releaseInputs
+      pr = if (i % truncateEvery == 0 || (i == iters && releaseInputs))
         ConnectedComponents.materializeRound(next) else next
     }
-    // see pagerankInt: final round materialized → inputs releasable
     if (releaseInputs) Seq(e0, ed, nodes).foreach(_.unpersist(blocking = false))
     pr
   }
