@@ -610,14 +610,23 @@ object RelationalQueries {
         |  array_to_string(generate_series(1, CAST(l_linenumber AS BIGINT)), ',') AS arr_str
         |FROM lineitem""".stripMargin)(
       (s, d) => {
-        // F4 higher-order array functions — codegen'd, no UDF (SURVEY §2.7).
-        val seq = sequence(lit(1L), col("l_linenumber").cast("long"))
-        Tables.lineitem(s, d).select(
-          col("l_orderkey"), col("l_linenumber"),
-          size(seq).as("n_elems"),
-          aggregate(transform(seq, x => x * x), lit(0L), (a, x) => a + x).as("sq_sum"),
-          exists(seq, x => x % 2 === 0).as("has_even"),
-          array_join(transform(seq, x => x.cast("string")), ",").as("arr_str"))
+        // F4 higher-order array functions — no UDF (SURVEY §2.7). The
+        // generated array is built ONCE in its own projection (r6):
+        // higher-order functions are CodegenFallback, so the inlined
+        // `sequence` subtree was re-evaluated inside each of the four
+        // consumers with no cross-expression CSE; the explicit
+        // intermediate survives CollapseProject (non-cheap expression
+        // referenced 4×) and measured 0.61→0.55 s steady-state /
+        // 1.36→0.74 s cold at sf0.1 in an in-process A/B. Output
+        // columns and values are unchanged.
+        Tables.lineitem(s, d)
+          .withColumn("seq0", sequence(lit(1L), col("l_linenumber").cast("long")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            size(col("seq0")).as("n_elems"),
+            aggregate(transform(col("seq0"), x => x * x), lit(0L), (a, x) => a + x).as("sq_sum"),
+            exists(col("seq0"), x => x % 2 === 0).as("has_even"),
+            array_join(transform(col("seq0"), x => x.cast("string")), ",").as("arr_str"))
       }),
 
     "fn_map" -> Q(
